@@ -6,10 +6,18 @@ distributed-testing stand-in). Must run before jax is imported anywhere.
 import os
 import sys
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# Force-override: the ambient environment exports JAX_PLATFORMS=axon (the
+# TPU tunnel); tests must run on the virtual-device CPU backend.
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8").strip()
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+# The ambient axon TPU plugin forces itself regardless of JAX_PLATFORMS;
+# jax.config.update is the override that sticks.
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
