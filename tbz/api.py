@@ -1,0 +1,166 @@
+"""One-shot easy API (the reference's L6, api.lisp:3-73).
+
+`decompress` auto-detects raw/zlib/gzip framing (or takes it explicitly),
+runs a frontend tokenizer plus the device resolver, verifies checksums
+(device tail kernels or host zlib), and handles multi-member gzip — the
+one-shot `decompress-vector` contract including the known-output-size
+fast path (api.lisp:36-48), without the grow-and-copy loop (two-phase
+decode knows exact sizes up front).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import zlib as _zlib
+
+import numpy as np
+
+from . import frontend as _frontend
+from .errors import DeflateError, TruncatedError, ERR_HEADER
+from .formats import gzip_fmt, zlib_fmt
+from .tape import FrontendResult
+
+_DEVICE_MIN_BYTES = 1 << 16  # below this, host resolve beats device latency
+
+
+@dataclasses.dataclass
+class MemberInfo:
+    format: str                      # 'raw' | 'zlib' | 'gzip'
+    header: object | None            # ZlibHeader / GzipHeader / None
+    output_size: int
+    consumed: int                    # input bytes consumed incl. trailer
+
+
+@dataclasses.dataclass
+class StreamInfo:
+    format: str
+    members: list
+    consumed: int                    # total input bytes consumed
+    unused_data: bytes               # trailing bytes past the stream
+
+
+def detect_format(data: bytes) -> str:
+    if len(data) >= 2 and data[0] == 0x1F and data[1] == 0x8B:
+        return "gzip"
+    if (len(data) >= 2 and (data[0] & 0x0F) == 8 and (data[0] >> 4) <= 7
+            and ((data[0] << 8) | data[1]) % 31 == 0):
+        return "zlib"
+    return "raw"
+
+
+def _resolve(res: FrontendResult, data: bytes, window: bytes,
+             backend: str):
+    """Returns (output_bytes, device_buffer_or_None, capacity)."""
+    if backend == "host" or (backend == "auto"
+                             and res.tape.total_out < _DEVICE_MIN_BYTES):
+        from . import reference
+        return reference.resolve_host(res.tape, data, window), None, 0
+    from .ops import resolve as _r
+    out_dev, total = _r.resolve_device(res.tape, data, window)
+    cap = out_dev.shape[0] - _r.W
+    body = out_dev[_r.W:]
+    return bytes(np.asarray(body[:total])), body, cap
+
+
+def _verify_device_or_host(kind: str, body_dev, out: bytes, prev: int):
+    """Checksum via device tail kernels when output is on device."""
+    if body_dev is not None:
+        from . import checksums as cs
+        if kind == "crc32":
+            return int(cs.crc32_device_tail(body_dev, len(out), prev))
+        return int(cs.adler32_device_tail(body_dev, len(out), prev))
+    if kind == "crc32":
+        return _zlib.crc32(out, prev)
+    return _zlib.adler32(out, prev)
+
+
+def _inflate_raw(data: bytes, window: bytes, backend: str):
+    res = _frontend.tokenize(data, 0, window_len=len(window))
+    if not res.finished:
+        raise TruncatedError("deflate stream has no final block")
+    out, body_dev, _ = _resolve(res, data, window, backend)
+    return out, res, body_dev
+
+
+def decompress(data, format: str = "auto", *, backend: str = "auto",
+               zdict: bytes = b"", verify: bool = True,
+               output_size: int | None = None,
+               multi_member: bool = True, with_info: bool = False):
+    """Decompress a raw deflate / zlib / gzip byte stream.
+
+    backend: 'auto' | 'device' | 'host' — where LZ77 resolution and
+    checksum verification run. output_size: known-size fast path hint
+    (api.lisp:36-48 contract) — the output buffer is sized exactly.
+    """
+    data = bytes(data)
+    fmt = detect_format(data) if format == "auto" else format
+    members: list[MemberInfo] = []
+    parts: list[bytes] = []
+    pos = 0
+
+    if fmt == "raw":
+        res = _frontend.tokenize(data, 0, window_len=0)
+        if not res.finished:
+            raise TruncatedError("deflate stream has no final block")
+        if output_size is not None and res.tape.total_out != output_size:
+            raise DeflateError(
+                f"output size {res.tape.total_out} != declared {output_size}")
+        out, _, _ = _resolve(res, data, b"", backend)
+        consumed = (res.end_bit + 7) // 8
+        members.append(MemberInfo("raw", None, len(out), consumed))
+        parts.append(out)
+        pos = consumed
+    elif fmt == "zlib":
+        hdr = zlib_fmt.parse_header(data, zdict)
+        body = data[hdr.data_offset:]
+        res = _frontend.tokenize(body, 0, window_len=len(zdict))
+        if not res.finished:
+            raise TruncatedError("zlib deflate body truncated")
+        out, body_dev, _ = _resolve(res, body, zdict, backend)
+        end = hdr.data_offset + (res.end_bit + 7) // 8
+        stored = zlib_fmt.read_trailer(data, end)
+        if verify:
+            # RFC 1950: the Adler covers the uncompressed data only — a
+            # preset dictionary does not feed it.
+            computed = _verify_device_or_host("adler32", body_dev, out, 1)
+            zlib_fmt.check_adler(stored, computed)
+        pos = end + 4
+        members.append(MemberInfo("zlib", hdr, len(out), pos))
+        parts.append(out)
+    elif fmt == "gzip":
+        while True:
+            hdr = gzip_fmt.parse_header(data, pos)
+            body = data[hdr.data_offset:]
+            res = _frontend.tokenize(body, 0, window_len=0)
+            if not res.finished:
+                raise TruncatedError("gzip deflate body truncated")
+            out, body_dev, _ = _resolve(res, body, b"", backend)
+            end = hdr.data_offset + (res.end_bit + 7) // 8
+            crc, isize = gzip_fmt.read_trailer(data, end)
+            if verify:
+                computed = _verify_device_or_host("crc32", body_dev, out, 0)
+                gzip_fmt.check_trailer(crc, computed, isize, len(out))
+            member_end = end + 8
+            members.append(MemberInfo("gzip", hdr, len(out),
+                                      member_end - pos))
+            parts.append(out)
+            pos = member_end
+            if not multi_member:
+                break
+            if pos + 2 > len(data) or data[pos] != 0x1F or data[pos + 1] != 0x8B:
+                break
+    else:
+        raise DeflateError(f"unknown format {fmt!r}", ERR_HEADER)
+
+    result = b"".join(parts)
+    if output_size is not None and fmt != "raw" and len(result) != output_size:
+        raise DeflateError(
+            f"output size {len(result)} != declared {output_size}")
+    if with_info:
+        return result, StreamInfo(fmt, members, pos, data[pos:])
+    return result
+
+
+def compress(data, format: str = "zlib", level: int = 6, **kw):
+    from . import deflate_encode
+    return deflate_encode.compress(data, format=format, level=level, **kw)

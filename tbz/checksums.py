@@ -300,6 +300,129 @@ def _crc32_device(data: jnp.ndarray, n: jnp.ndarray,
     return (lin ^ init) ^ jnp.uint32(0xFFFFFFFF)
 
 
+# --- tail variants: real bytes at the FRONT of the padded buffer -----------
+# (the natural layout of resolver output). Trailing zeros are removed
+# algebraically: Adler by weight correction, CRC by multiplying with
+# x^(-8·pad) — the inverse shift matrix (x is invertible mod P).
+
+def _gf2_bitmat_inverse(m: np.ndarray) -> np.ndarray:
+    a = np.concatenate([m.astype(np.uint8),
+                        np.eye(32, dtype=np.uint8)], axis=1)
+    for col in range(32):
+        piv = col + int(np.argmax(a[col:, col]))
+        assert a[piv, col], "singular GF(2) matrix"
+        a[[col, piv]] = a[[piv, col]]
+        for r in range(32):
+            if r != col and a[r, col]:
+                a[r] ^= a[col]
+    return a[:, 32:].astype(np.int8)
+
+
+@functools.lru_cache(maxsize=None)
+def _pow2_unshift_bitmats() -> np.ndarray:
+    """(35,32,32) int8: matrices for x^(-2^k), k in 0..34."""
+    inv1 = _gf2_bitmat_inverse(_cols_to_bitmat(
+        [(CRC_POLY if i == 0 else 1 << (i - 1)) for i in range(32)]))
+    mats = [inv1]
+    m = inv1.astype(np.int64)
+    for _ in range(34):
+        m = (m @ m) % 2
+        mats.append(m.astype(np.int8))
+    return np.stack([x.astype(np.int8) for x in mats])
+
+
+def _crc_unshift_dynamic_device(crc: jnp.ndarray,
+                                nbits: jnp.ndarray) -> jnp.ndarray:
+    mats = jnp.asarray(_pow2_unshift_bitmats())
+    ks = jnp.arange(35, dtype=jnp.uint32)
+
+    def body(c, km):
+        k, mat = km
+        bit = ((nbits >> k) & 1).astype(bool)
+        return jnp.where(bit, _gf2_apply_device(mat, c), c), None
+
+    out, _ = jax.lax.scan(body, crc, (ks, mats))
+    return out
+
+
+def adler32_device_tail(data, n, prev=1, chunk: int = ADLER_CHUNK):
+    """Adler-32 of the FIRST `n` bytes of uint8 `data` (trailing masked)."""
+    return _adler32_device_tail(data, np.uint32(n), np.uint32(prev), chunk)
+
+
+@functools.partial(jax.jit, static_argnames=("chunk",))
+def _adler32_device_tail(data, n, prev, chunk):
+    N = data.shape[0]
+    assert N % chunk == 0
+    idx = jnp.arange(N, dtype=jnp.uint32)
+    x = jnp.where(idx < n, data, 0).astype(jnp.uint32)
+    K = N // chunk
+    xc = x.reshape(K, chunk)
+    w = jnp.arange(chunk, 0, -1, dtype=jnp.uint32)
+    sa = jnp.sum(xc, axis=1, dtype=jnp.uint32) % ADLER_MOD
+    sb = jnp.sum(xc * w, axis=1, dtype=jnp.uint32) % ADLER_MOD
+    K2 = 1 << max(0, (K - 1).bit_length())
+    if K2 != K:  # zero chunks appended at the END (handled by Z-correction)
+        sa = jnp.concatenate([sa, jnp.zeros(K2 - K, jnp.uint32)])
+        sb = jnp.concatenate([sb, jnp.zeros(K2 - K, jnp.uint32)])
+    level_len = chunk
+    while sa.shape[0] > 1:
+        l2 = jnp.uint32(level_len % ADLER_MOD)
+        sa_l, sa_r = sa[0::2], sa[1::2]
+        sb_l, sb_r = sb[0::2], sb[1::2]
+        sb = (sb_l + l2 * sa_l + sb_r) % ADLER_MOD
+        sa = (sa_l + sa_r) % ADLER_MOD
+        level_len *= 2
+    sa, sb = sa[0], sb[0]
+    # Remove the Z = K2*chunk - n trailing zero bytes' weight inflation.
+    m = jnp.uint32(ADLER_MOD)
+    z = (jnp.uint32(K2 * chunk) - n) % m
+    sb = (sb + m - (z * sa) % m) % m
+    a0 = prev & 0xFFFF
+    b0 = (prev >> 16) & 0xFFFF
+    a = (a0 + sa) % m
+    b = (b0 + (n % m) * (a0 % m) + sb) % m
+    return (b << 16) | a
+
+
+def crc32_device_tail(data, n, prev=0, lane_bytes: int = CRC_LANE_BYTES):
+    """CRC-32 of the FIRST `n` bytes of uint8 `data` (trailing masked)."""
+    return _crc32_device_tail(data, np.uint32(n), np.uint32(prev), lane_bytes)
+
+
+@functools.partial(jax.jit, static_argnames=("lane_bytes",))
+def _crc32_device_tail(data, n, prev, lane_bytes):
+    N = data.shape[0]
+    assert N % lane_bytes == 0
+    idx = jnp.arange(N, dtype=jnp.uint32)
+    x = jnp.where(idx < n, data, 0).astype(jnp.uint32)
+    K = N // lane_bytes
+    cols = x.reshape(K, lane_bytes).T
+    table = jnp.asarray(crc_table())
+
+    def body(j, reg):
+        b = cols[j]
+        return (reg >> 8) ^ table[(reg ^ b) & 0xFF]
+
+    regs = jax.lax.fori_loop(0, lane_bytes, body, jnp.zeros(K, jnp.uint32))
+    K2 = 1 << max(0, (K - 1).bit_length())
+    if K2 != K:  # identity lanes appended on the LEFT keeps tree math valid
+        regs = jnp.concatenate([jnp.zeros(K2 - K, jnp.uint32), regs])
+    level_bytes = lane_bytes
+    while regs.shape[0] > 1:
+        mat = jnp.asarray(_shift_bitmat_np(level_bytes))
+        left, right = regs[0::2], regs[1::2]
+        regs = _gf2_apply_device(mat, left) ^ right
+        level_bytes *= 2
+    lin_padded = regs[0]
+    # L(X·0^Z) = L(X)·x^{8Z}  ->  undo the trailing zeros.
+    zbits = jnp.uint32(8) * (jnp.uint32(K * lane_bytes) - n)
+    lin = _crc_unshift_dynamic_device(lin_padded, zbits)
+    init = _crc_shift_dynamic_device(~prev & jnp.uint32(0xFFFFFFFF),
+                                     jnp.uint32(8) * n)
+    return (lin ^ init) ^ jnp.uint32(0xFFFFFFFF)
+
+
 # --- device combine (for shard_map tree merges) ----------------------------
 
 def crc32_combine_device(crc1, crc2, len2) -> jnp.ndarray:

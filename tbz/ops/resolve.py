@@ -111,7 +111,8 @@ def resolve_device(tape: TokenTape, input_bytes: bytes | np.ndarray,
     ol[:n] = tape.out_len
     di[:n] = tape.dist
     rv[:n] = tape.root_val
-    cap = out_capacity or _pad_pow2(tape.total_out)
+    # floor 4096 keeps the buffer aligned for the tail checksum kernels
+    cap = out_capacity or _pad_pow2(tape.total_out, floor=4096)
     assert tape.total_out <= cap
     inp = np.frombuffer(bytes(input_bytes), np.uint8) if not isinstance(
         input_bytes, np.ndarray) else input_bytes

@@ -1,0 +1,149 @@
+"""One-shot API tests: framing, checksums, multi-member, fast path
+(covering the reference's zlib-test/gzip-test + api.lisp contracts)."""
+
+import gzip as _gzip
+import io
+import struct
+import zlib
+
+import pytest
+
+from tbz import api
+from tbz.errors import ChecksumError, DeflateError, TruncatedError
+
+from util import corpus
+
+DATA = corpus(31, 1 << 17)
+
+
+@pytest.mark.parametrize("backend", ["host", "device"])
+def test_zlib_roundtrip(backend):
+    payload = zlib.compress(DATA, 9)
+    assert api.decompress(payload, "zlib", backend=backend) == DATA
+
+
+@pytest.mark.parametrize("backend", ["host", "device"])
+def test_gzip_roundtrip(backend):
+    payload = _gzip.compress(DATA, 9)
+    assert api.decompress(payload, "gzip", backend=backend) == DATA
+
+
+def test_raw_roundtrip():
+    co = zlib.compressobj(9, zlib.DEFLATED, -15)
+    payload = co.compress(DATA) + co.flush()
+    assert api.decompress(payload, "raw") == DATA
+
+
+def test_autodetect():
+    assert api.decompress(zlib.compress(DATA)) == DATA
+    assert api.decompress(_gzip.compress(DATA)) == DATA
+    co = zlib.compressobj(6, zlib.DEFLATED, -15)
+    assert api.decompress(co.compress(DATA) + co.flush()) == DATA
+
+
+@pytest.mark.parametrize("backend", ["host", "device"])
+def test_adler_mismatch_detected(backend):
+    payload = bytearray(zlib.compress(DATA))
+    payload[-1] ^= 0xFF
+    with pytest.raises(ChecksumError):
+        api.decompress(bytes(payload), "zlib", backend=backend)
+
+
+@pytest.mark.parametrize("backend", ["host", "device"])
+def test_crc_mismatch_detected(backend):
+    payload = bytearray(_gzip.compress(DATA))
+    payload[-5] ^= 0xFF  # CRC byte (last 8 = CRC32+ISIZE)
+    with pytest.raises(ChecksumError):
+        api.decompress(bytes(payload), "gzip", backend=backend)
+
+
+def test_isize_mismatch_detected():
+    payload = bytearray(_gzip.compress(DATA))
+    payload[-1] ^= 0x01  # ISIZE high byte
+    with pytest.raises(ChecksumError):
+        api.decompress(bytes(payload), "gzip")
+
+
+def test_multi_member_gzip():
+    a, b, c = corpus(1, 5000), corpus(2, 100), corpus(3, 60000)
+    payload = _gzip.compress(a) + _gzip.compress(b) + _gzip.compress(c)
+    out, info = api.decompress(payload, "gzip", with_info=True)
+    assert out == a + b + c
+    assert len(info.members) == 3
+    assert [m.output_size for m in info.members] == [5000, 100, 60000]
+    # stdlib agrees
+    assert _gzip.decompress(payload) == a + b + c
+
+
+def test_gzip_header_metadata():
+    buf = io.BytesIO()
+    with _gzip.GzipFile(filename="hello.txt", mode="wb", fileobj=buf,
+                        mtime=1234567890) as f:
+        f.write(DATA[:1000])
+    out, info = api.decompress(buf.getvalue(), "gzip", with_info=True)
+    assert out == DATA[:1000]
+    h = info.members[0].header
+    assert h.name == "hello.txt"
+    assert h.mtime == 1234567890
+    assert h.os_name in ("unix", "unknown")
+
+
+def test_gzip_fhcrc():
+    # Build a header with FHCRC by hand.
+    hdr = bytearray(b"\x1f\x8b\x08\x02" + b"\x00" * 6)
+    crc16 = zlib.crc32(bytes(hdr)) & 0xFFFF
+    co = zlib.compressobj(6, zlib.DEFLATED, -15)
+    body = co.compress(b"data") + co.flush()
+    trailer = struct.pack("<II", zlib.crc32(b"data"), 4)
+    payload = bytes(hdr) + struct.pack("<H", crc16) + body + trailer
+    assert api.decompress(payload, "gzip") == b"data"
+    # Corrupt the FHCRC
+    bad = bytes(hdr) + struct.pack("<H", crc16 ^ 1) + body + trailer
+    with pytest.raises(ChecksumError):
+        api.decompress(bad, "gzip")
+
+
+def test_gzip_reserved_flag_bits():
+    payload = bytearray(_gzip.compress(b"x"))
+    payload[3] |= 0x80
+    with pytest.raises(DeflateError):
+        api.decompress(bytes(payload), "gzip")
+
+
+def test_zlib_preset_dictionary():
+    """Beyond the reference: FDICT streams decode with a caller dict
+    (zlib.lisp:33-36 errors instead)."""
+    zdict = DATA[:30000]
+    co = zlib.compressobj(9, zlib.DEFLATED, 15, zdict=zdict)
+    payload = co.compress(DATA[30000:60000]) + co.flush()
+    out = api.decompress(payload, "zlib", zdict=zdict)
+    assert out == DATA[30000:60000]
+    with pytest.raises(DeflateError):
+        api.decompress(payload, "zlib")  # dict required
+    with pytest.raises(DeflateError):
+        api.decompress(payload, "zlib", zdict=b"wrong dict")
+
+
+def test_known_output_size_fast_path():
+    payload = zlib.compress(DATA)
+    assert api.decompress(payload, output_size=len(DATA)) == DATA
+    with pytest.raises(DeflateError):
+        api.decompress(payload, output_size=len(DATA) - 1)
+
+
+def test_truncated_stream():
+    payload = zlib.compress(DATA)
+    with pytest.raises(TruncatedError):
+        api.decompress(payload[:-6], "zlib")
+
+
+def test_trailing_garbage_reported():
+    payload = zlib.compress(b"hello")
+    out, info = api.decompress(payload + b"JUNK", "zlib", with_info=True)
+    assert out == b"hello"
+    assert info.unused_data == b"JUNK"
+
+
+def test_empty_payloads():
+    assert api.decompress(zlib.compress(b""), "zlib") == b""
+    assert api.decompress(_gzip.compress(b""), "gzip") == b""
