@@ -1,0 +1,169 @@
+"""Chunked-streaming fuzz — the port of the reference's randomized
+chunk-split harness (test-chunked-input.lisp:27-89: fixed 3-byte pieces,
+then thousands of random splits, asserting clean resume at every point)
+plus framing/multi-member streaming cases."""
+
+import gzip as _gzip
+import random
+import zlib
+
+import pytest
+
+from tbz.errors import ChecksumError, TruncatedError
+from tbz.streaming import Decompressor, IncrementalInflater
+
+from util import corpus, raw_deflate
+
+
+def stream_decode(payload, fmt, sizes, **kw):
+    d = Decompressor(fmt, **kw)
+    out = []
+    pos = 0
+    for s in sizes:
+        out.append(d.decompress(payload[pos:pos + s]))
+        pos += s
+    out.append(d.decompress(payload[pos:]))
+    out.append(d.flush())
+    return b"".join(out), d
+
+
+DATA = corpus(77, 1 << 17)
+
+
+def test_fixed_3_byte_chunks():
+    """The reference's fixed-3-byte harness (test-chunked-input.lisp:46-52)."""
+    payload = raw_deflate(DATA, 9)
+    sizes = [3] * (len(payload) // 3)
+    out, d = stream_decode(payload, "raw", sizes)
+    assert out == DATA and d.eof
+
+
+def test_single_byte_chunks():
+    payload = zlib.compress(DATA[:20000], 9)
+    out, d = stream_decode(payload, "zlib", [1] * (len(payload) - 1))
+    assert out == DATA[:20000] and d.eof
+
+
+@pytest.mark.parametrize("fmt,mk", [
+    ("raw", lambda d: raw_deflate(d, 9)),
+    ("zlib", lambda d: zlib.compress(d, 9)),
+    ("gzip", lambda d: _gzip.compress(d, 9)),
+])
+def test_random_chunk_fuzz(fmt, mk):
+    """Random split sizes 1..1234 (test-chunked-input.lisp:54-75 port;
+    iterations scaled for CI time, covering all three framings)."""
+    payload = mk(DATA)
+    rng = random.Random(99)
+    for _ in range(40):
+        sizes = []
+        left = len(payload)
+        while left > 0:
+            s = rng.randint(1, 1234)
+            sizes.append(min(s, left))
+            left -= s
+        out, d = stream_decode(payload, fmt, sizes[:-1])
+        assert out == DATA and d.eof
+
+
+def test_chunked_64k_with_history_carry():
+    """BASELINE config 4: 64KB pieces, matches reaching across pieces
+    through the 32KB window."""
+    data = corpus(5, 1 << 20)
+    payload = zlib.compress(data, 9)
+    sizes = [65536] * (len(payload) // 65536)
+    out, d = stream_decode(payload, "zlib", sizes)
+    assert out == data
+
+
+def test_stored_block_chunking():
+    """Level-0 (stored) streams split mid-block
+    (test-chunked-input.lisp:78-89 parity)."""
+    data = corpus(8, 200000)
+    payload = zlib.compress(data, 0)
+    rng = random.Random(3)
+    for _ in range(10):
+        sizes = []
+        left = len(payload)
+        while left > 0:
+            s = rng.randint(1, 5000)
+            sizes.append(min(s, left))
+            left -= s
+        out, d = stream_decode(payload, "zlib", sizes[:-1])
+        assert out == data
+
+
+def test_multi_member_gzip_streaming():
+    members = [corpus(i, 10000 + i * 7) for i in range(4)]
+    payload = b"".join(_gzip.compress(m) for m in members)
+    rng = random.Random(17)
+    for _ in range(10):
+        sizes = []
+        left = len(payload)
+        while left > 0:
+            s = rng.randint(1, 4000)
+            sizes.append(min(s, left))
+            left -= s
+        out, d = stream_decode(payload, "gzip", sizes[:-1])
+        assert out == b"".join(members)
+        assert len(d.members) == 4
+
+
+def test_trailing_garbage_after_gzip():
+    payload = _gzip.compress(b"hello") + b"NOTGZIP"
+    out, d = stream_decode(payload, "gzip", [5, 9])
+    assert out == b"hello"
+    assert d.unused_data == b"NOTGZIP"
+
+
+def test_streaming_checksum_mismatch():
+    payload = bytearray(zlib.compress(DATA[:50000]))
+    payload[-1] ^= 1
+    d = Decompressor("zlib")
+    with pytest.raises(ChecksumError):
+        d.decompress(bytes(payload))
+        d.flush()
+
+
+def test_incomplete_stream_flush_raises():
+    payload = zlib.compress(DATA[:10000])
+    d = Decompressor("zlib")
+    d.decompress(payload[:50])
+    with pytest.raises(TruncatedError):
+        d.flush()
+
+
+def test_empty_flush_ok():
+    assert Decompressor("zlib").flush() == b""
+
+
+def test_auto_format_streaming():
+    for payload, want in [(zlib.compress(DATA[:5000]), DATA[:5000]),
+                          (_gzip.compress(DATA[:5000]), DATA[:5000])]:
+        out, d = stream_decode(payload, "auto", [1, 1, 1, 10])
+        assert out == want
+
+
+def test_zdict_streaming():
+    zdict = DATA[:30000]
+    co = zlib.compressobj(9, zlib.DEFLATED, 15, zdict=zdict)
+    payload = co.compress(DATA[30000:60000]) + co.flush()
+    out, d = stream_decode(payload, "zlib", [7] * 40, zdict=zdict)
+    assert out == DATA[30000:60000]
+
+
+def test_state_checkpoint_resume():
+    """Decode state round-trips through get_state/set_state mid-stream
+    (the reference's save-state/checkpointability, SURVEY §5.4)."""
+    payload = raw_deflate(DATA, 9)
+    inf1 = IncrementalInflater()
+    tape1, src1 = inf1.feed(payload[:4000])
+    from tbz import reference
+    out1 = reference.resolve_host(tape1, src1)
+    inf1.trim()
+    st = inf1.get_state()
+
+    inf2 = IncrementalInflater()
+    inf2.set_state(st)
+    tape2, src2 = inf2.feed(payload[4000:])
+    out2 = reference.resolve_host(tape2, src2, window=out1[-32768:])
+    assert out1 + out2 == DATA
