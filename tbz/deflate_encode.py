@@ -1,0 +1,187 @@
+"""DEFLATE encoder: LZ77 tokens -> optimal-Huffman blocks -> framed bytes.
+
+The reference has no encoder (SURVEY §0); this is the north-star
+extension. Per block the encoder computes exact bit costs for stored /
+static / dynamic representations and emits the cheapest (zlib's
+strategy, with package-merge-optimal length-limited codes giving a small
+edge toward the "<= libz size" target).
+"""
+
+from __future__ import annotations
+
+import zlib as _zlib
+
+import numpy as np
+
+from . import constants as C
+from . import huffman_encode as he
+from . import lz77
+from .bitwriter import BitWriter
+
+BLOCK_TOKENS = 32768  # symbols per dynamic block
+
+_STATIC_LIT_LENS = C.FIXED_LITLEN_LENGTHS
+_STATIC_DIST_LENS = C.FIXED_DIST_LENGTHS
+
+
+def tokenize_for_encode(data: bytes, level: int):
+    """Run the best available matcher. Returns (out_len, dist, lit)."""
+    try:
+        from .native import loader
+        if loader.available():
+            return loader.lz77_match(data, level)
+    except ImportError:
+        pass
+    return lz77.match_greedy_numpy(data, lazy=level >= 4)
+
+
+def _block_symbol_cost(lit_freqs, lit_lens, dist_freqs, dist_lens,
+                       len_extra_total, dist_extra_total) -> int:
+    lit_cost = int(np.sum(lit_freqs * lit_lens))
+    dist_cost = int(np.sum(dist_freqs * dist_lens))
+    return lit_cost + dist_cost + len_extra_total + dist_extra_total
+
+
+def _emit_tokens(w: BitWriter, ol, di, li, lit_codes, lit_lens,
+                 dist_codes, dist_lens) -> None:
+    lsym, leb, lev = lz77.length_to_symbol(ol)
+    dsym, deb, dev = lz77.dist_to_symbol(np.maximum(di, 1))
+    for i in range(len(ol)):
+        if di[i] == 0:
+            s = int(li[i])
+            w.huff(int(lit_codes[s]), int(lit_lens[s]))
+        else:
+            s = int(lsym[i])
+            w.huff(int(lit_codes[s]), int(lit_lens[s]))
+            if leb[i]:
+                w.bits(int(lev[i]), int(leb[i]))
+            ds = int(dsym[i])
+            w.huff(int(dist_codes[ds]), int(dist_lens[ds]))
+            if deb[i]:
+                w.bits(int(dev[i]), int(deb[i]))
+    w.huff(int(lit_codes[256]), int(lit_lens[256]))
+
+
+def _emit_stored(w: BitWriter, chunk: bytes, final: bool) -> None:
+    n = len(chunk)
+    off = 0
+    while True:
+        take = min(n - off, 65535)
+        last_piece = off + take == n
+        w.bits(1 if (final and last_piece) else 0, 1)
+        w.bits(C.BTYPE_STORED, 2)
+        w.align()
+        w.bits(take, 16)
+        w.bits(~take & 0xFFFF, 16)
+        w.raw_bytes(chunk[off:off + take])
+        off += take
+        if last_piece:
+            break
+
+
+def deflate_raw(data: bytes, level: int = 6) -> bytes:
+    """Raw DEFLATE stream (RFC 1951) of `data`."""
+    data = bytes(data)
+    w = BitWriter()
+    if len(data) == 0:
+        # Static block containing only end-of-block.
+        w.bits(1, 1)
+        w.bits(C.BTYPE_STATIC, 2)
+        w.huff(0, 7)  # symbol 256 in the fixed code
+        return w.bytes()
+    if level == 0:
+        _emit_stored(w, data, final=True)
+        return w.bytes()
+
+    ol, di, li = tokenize_for_encode(data, level)
+    n_tok = len(ol)
+    byte_pos = np.concatenate([[0], np.cumsum(ol)])
+    blocks = range(0, n_tok, BLOCK_TOKENS)
+    for bi in blocks:
+        bj = min(bi + BLOCK_TOKENS, n_tok)
+        final = bj == n_tok
+        bol, bdi, bli = ol[bi:bj], di[bi:bj], li[bi:bj]
+        block_bytes = data[int(byte_pos[bi]):int(byte_pos[bj])]
+
+        # Histogram.
+        lit_freqs = np.zeros(288, dtype=np.int64)
+        dist_freqs = np.zeros(30, dtype=np.int64)
+        is_lit = bdi == 0
+        np.add.at(lit_freqs, bli[is_lit], 1)
+        lsym, leb, _ = lz77.length_to_symbol(bol[~is_lit])
+        dsym, deb, _ = lz77.dist_to_symbol(bdi[~is_lit])
+        np.add.at(lit_freqs, lsym, 1)
+        np.add.at(dist_freqs, dsym, 1)
+        lit_freqs[256] += 1
+        len_extra_total = int(np.sum(leb))
+        dist_extra_total = int(np.sum(deb))
+
+        # Dynamic plan.
+        dyn_lit_lens = he.package_merge_lengths(lit_freqs, 15)
+        dyn_dist_lens = he.package_merge_lengths(dist_freqs, 15)
+        (hlit, hdist, hclen, cl_lens, cl_codes, cl_stream,
+         hdr_cost) = he.build_dynamic_header(dyn_lit_lens, dyn_dist_lens)
+        dyn_cost = hdr_cost + _block_symbol_cost(
+            lit_freqs, dyn_lit_lens, dist_freqs, dyn_dist_lens,
+            len_extra_total, dist_extra_total)
+        static_cost = _block_symbol_cost(
+            lit_freqs, _STATIC_LIT_LENS, dist_freqs[:30],
+            _STATIC_DIST_LENS[:30], len_extra_total, dist_extra_total)
+        n_chunks = max(1, -(-len(block_bytes) // 65535))
+        stored_cost = 7 + 35 * n_chunks + 8 * len(block_bytes)
+
+        if stored_cost < min(dyn_cost, static_cost):
+            _emit_stored(w, block_bytes, final)
+            continue
+        w.bits(1 if final else 0, 1)
+        if static_cost <= dyn_cost:
+            w.bits(C.BTYPE_STATIC, 2)
+            lit_codes, lit_lens_a = he.codes_from_lengths(_STATIC_LIT_LENS)
+            dist_codes, dist_lens_a = he.codes_from_lengths(_STATIC_DIST_LENS)
+        else:
+            w.bits(C.BTYPE_DYNAMIC, 2)
+            w.bits(hlit - 257, 5)
+            w.bits(hdist - 1, 5)
+            w.bits(hclen - 4, 4)
+            for i in range(hclen):
+                w.bits(int(cl_lens[C.CODE_LENGTH_ORDER[i]]), 3)
+            for sym, eb, ev in cl_stream:
+                w.huff(int(cl_codes[sym]), int(cl_lens[sym]))
+                if eb:
+                    w.bits(ev, eb)
+            lit_codes, lit_lens_a = he.codes_from_lengths(dyn_lit_lens)
+            dist_codes, dist_lens_a = he.codes_from_lengths(dyn_dist_lens)
+        _emit_tokens(w, bol, bdi, bli, lit_codes, lit_lens_a,
+                     dist_codes, dist_lens_a)
+    return w.bytes()
+
+
+def compress(data, format: str = "zlib", level: int = 6,
+             mtime: int = 0, name: str | None = None) -> bytes:
+    """Compress to raw / zlib / gzip framing."""
+    data = bytes(data)
+    body = deflate_raw(data, level)
+    if format == "raw":
+        return body
+    if format == "zlib":
+        cmf = 0x78  # CM=8, CINFO=7 (32KB window)
+        flevel = 0 if level < 2 else 1 if level < 6 else 2 if level < 8 else 3
+        flg = flevel << 6
+        rem = ((cmf << 8) | flg) % 31
+        if rem:
+            flg += 31 - rem
+        return (bytes([cmf, flg]) + body
+                + _zlib.adler32(data).to_bytes(4, "big"))
+    if format == "gzip":
+        flg = 0
+        name_b = b""
+        if name is not None:
+            flg = 0x08
+            name_b = name.encode("utf-8") + b"\x00"
+        xfl = 2 if level >= 8 else 4 if level <= 2 else 0
+        hdr = (b"\x1f\x8b\x08" + bytes([flg])
+               + int(mtime).to_bytes(4, "little") + bytes([xfl, 3]))
+        trailer = (_zlib.crc32(data).to_bytes(4, "little")
+                   + (len(data) % (1 << 32)).to_bytes(4, "little"))
+        return hdr + name_b + body + trailer
+    raise ValueError(f"unknown format {format!r}")
