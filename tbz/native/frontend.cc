@@ -1,0 +1,617 @@
+// tbz native runtime: DEFLATE tokenizer, LZ77 matcher, tape resolver.
+//
+// The sequential-irreducible parts of the codec (bit-stream symbol walk,
+// hash-chain match search) live here as the fast host path, feeding the
+// TPU backend (resolver + checksums) with fixed-width token tapes. This
+// plays the role the reference's SBCL-vop-tuned hot loops play
+// (deflate.lisp:465-501, %copy-history) — reimplemented from the RFC,
+// with the same two-level-table decode contract as ../huffman.py.
+//
+// Build: g++ -O3 -shared -fPIC -o libtbz.so frontend.cc
+
+#include <cstdint>
+#include <cstring>
+
+namespace {
+
+// ---- error codes (mirror ../errors.py) -----------------------------------
+enum {
+  OK = 0,
+  ERR_BAD_BLOCK_TYPE = 1,
+  ERR_STORED_LEN_MISMATCH = 2,
+  ERR_TRUNCATED = 3,
+  ERR_BAD_HUFFMAN = 4,
+  ERR_INVALID_CODE = 5,
+  ERR_BAD_DISTANCE = 6,
+  ERR_BAD_CL_REPEAT = 7,
+  ERR_TOO_MANY_SYMBOLS = 8,
+  ERR_TAPE_OVERFLOW = 11,
+};
+
+// ---- packed table entries (mirror ../constants.py) ------------------------
+enum { OP_LITERAL = 0, OP_MATCH = 1, OP_END = 2, OP_INVALID = 3, OP_LINK = 4 };
+constexpr uint32_t kInvalidEntry = 15u | (uint32_t(OP_INVALID) << 4);
+
+inline uint32_t pack_entry(uint32_t op, uint32_t nbits, uint32_t extra,
+                           uint32_t val) {
+  return (nbits & 0xF) | (op << 4) | (extra << 7) | (val << 16);
+}
+inline uint32_t e_nbits(uint32_t e) { return e & 0xF; }
+inline uint32_t e_op(uint32_t e) { return (e >> 4) & 0x7; }
+inline uint32_t e_extra(uint32_t e) { return (e >> 7) & 0x1F; }
+inline uint32_t e_val(uint32_t e) { return e >> 16; }
+
+constexpr int kMaxBits = 15;
+constexpr int kLitRoot = 9, kDistRoot = 6, kClRoot = 7;
+constexpr int kEnoughLit = 852, kEnoughDist = 592, kEnoughCl = 128;
+constexpr int STORED_FLAG = 1 << 30;
+
+const uint16_t kLenBase[29] = {3, 4, 5, 6, 7, 8, 9, 10, 11, 13, 15, 17, 19,
+                               23, 27, 31, 35, 43, 51, 59, 67, 83, 99, 115,
+                               131, 163, 195, 227, 258};
+const uint8_t kLenExtra[29] = {0, 0, 0, 0, 0, 0, 0, 0, 1, 1, 1, 1, 2, 2, 2,
+                               2, 3, 3, 3, 3, 4, 4, 4, 4, 5, 5, 5, 5, 0};
+const uint16_t kDistBase[30] = {1, 2, 3, 4, 5, 7, 9, 13, 17, 25, 33, 49,
+                                65, 97, 129, 193, 257, 385, 513, 769, 1025,
+                                1537, 2049, 3073, 4097, 6145, 8193, 12289,
+                                16385, 24577};
+const uint8_t kDistExtra[30] = {0, 0, 0, 0, 1, 1, 2, 2, 3, 3, 4, 4, 5, 5,
+                                6, 6, 7, 7, 8, 8, 9, 9, 10, 10, 11, 11,
+                                12, 12, 13, 13};
+const uint8_t kClOrder[19] = {16, 17, 18, 0, 8, 7, 9, 6, 10, 5,
+                              11, 4, 12, 3, 13, 2, 14, 1, 15};
+
+inline uint32_t bit_reverse(uint32_t code, int nbits) {
+  uint32_t out = 0;
+  for (int i = 0; i < nbits; i++) {
+    out = (out << 1) | (code & 1);
+    code >>= 1;
+  }
+  return out;
+}
+
+enum Kind { KIND_CODELEN = 0, KIND_LITLEN = 1, KIND_DIST = 2 };
+
+uint32_t symbol_entry(int kind, int sym, int nbits) {
+  if (kind == KIND_CODELEN) return pack_entry(OP_LITERAL, nbits, 0, sym);
+  if (kind == KIND_LITLEN) {
+    if (sym < 256) return pack_entry(OP_LITERAL, nbits, 0, sym);
+    if (sym == 256) return pack_entry(OP_END, nbits, 0, 0);
+    if (sym <= 285)
+      return pack_entry(OP_MATCH, nbits, kLenExtra[sym - 257],
+                        kLenBase[sym - 257]);
+    return pack_entry(OP_INVALID, nbits, 0, 0);
+  }
+  if (sym <= 29)
+    return pack_entry(OP_MATCH, nbits, kDistExtra[sym], kDistBase[sym]);
+  return pack_entry(OP_INVALID, nbits, 0, 0);
+}
+
+// Build a two-level decode table; returns OK or ERR_BAD_HUFFMAN.
+// Same canonical construction + validation rules as ../huffman.py.
+int build_table(const uint8_t* lens, int n, int kind, int root,
+                uint32_t* table, int table_size) {
+  for (int i = 0; i < table_size; i++) table[i] = kInvalidEntry;
+  int counts[kMaxBits + 1] = {0};
+  for (int i = 0; i < n; i++) counts[lens[i]]++;
+  int used = 0, max_len = 0;
+  for (int l = 1; l <= kMaxBits; l++) {
+    used += counts[l];
+    if (counts[l]) max_len = l;
+  }
+  if (used == 0) return OK;  // empty table: all invalid
+  int left = 1;
+  for (int l = 1; l <= kMaxBits; l++) {
+    left = (left << 1) - counts[l];
+    if (left < 0) return ERR_BAD_HUFFMAN;
+  }
+  if (left > 0 && (kind == KIND_CODELEN || max_len != 1))
+    return ERR_BAD_HUFFMAN;
+
+  // canonical first-code per length
+  uint32_t next_code[kMaxBits + 2] = {0};
+  uint32_t code = 0;
+  for (int l = 1; l <= kMaxBits; l++) {
+    code = (code + (l > 1 ? counts[l - 1] : 0)) << 1;
+    next_code[l] = code;
+  }
+  // first pass: short codes + discover subtable widths
+  int sub_width[1 << 9];  // indexed by root prefix; root <= 9
+  for (int i = 0; i < (1 << root); i++) sub_width[i] = 0;
+  uint32_t codes_of[320];
+  for (int sym = 0; sym < n; sym++) {
+    int l = lens[sym];
+    if (!l) continue;
+    codes_of[sym] = next_code[l]++;
+    if (l > root) {
+      uint32_t rev = bit_reverse(codes_of[sym], l);
+      int prefix = rev & ((1 << root) - 1);
+      if (l - root > sub_width[prefix]) sub_width[prefix] = l - root;
+    }
+  }
+  // allocate subtables, emit link entries
+  int sub_base[1 << 9];
+  int off = 1 << root;
+  for (int p = 0; p < (1 << root); p++) {
+    if (!sub_width[p]) continue;
+    if (off + (1 << sub_width[p]) > table_size) return ERR_BAD_HUFFMAN;
+    sub_base[p] = off;
+    table[p] = pack_entry(OP_LINK, root, sub_width[p], off);
+    off += 1 << sub_width[p];
+  }
+  // fill
+  for (int sym = 0; sym < n; sym++) {
+    int l = lens[sym];
+    if (!l) continue;
+    uint32_t rev = bit_reverse(codes_of[sym], l);
+    uint32_t entry = symbol_entry(kind, sym, l);
+    if (l <= root) {
+      for (int i = rev; i < (1 << root); i += (1 << l)) table[i] = entry;
+    } else {
+      int prefix = rev & ((1 << root) - 1);
+      int w = sub_width[prefix];
+      for (uint32_t i = rev >> root; i < (1u << w); i += (1u << (l - root)))
+        table[sub_base[prefix] + i] = entry;
+    }
+  }
+  return OK;
+}
+
+// ---- bit reader -----------------------------------------------------------
+struct Br {
+  const uint8_t* p;
+  int64_t n;       // total bytes
+  int64_t pos;     // next unread byte
+  uint64_t buf;
+  int nbits;
+
+  void init(const uint8_t* data, int64_t size, int64_t bit_pos) {
+    p = data;
+    n = size;
+    pos = bit_pos >> 3;
+    buf = 0;
+    nbits = 0;
+    int rem = bit_pos & 7;
+    if (rem && pos < n) {
+      buf = p[pos++] >> rem;
+      nbits = 8 - rem;
+    }
+  }
+  inline void fill() {
+    if (nbits <= 32 && pos + 8 <= n) {  // bulk 8-byte LE load
+      uint64_t w;
+      std::memcpy(&w, p + pos, 8);
+      int take = (63 - nbits) >> 3;
+      buf |= w << nbits;  // may truncate high bytes; advance what fits
+      pos += take;
+      nbits += take * 8;
+      return;
+    }
+    while (nbits <= 56 && pos < n) {
+      buf |= uint64_t(p[pos++]) << nbits;
+      nbits += 8;
+    }
+  }
+  inline int64_t bits_available() const { return (n - pos) * 8 + nbits; }
+  inline int64_t bit_position() const { return pos * 8 - nbits; }
+  inline uint32_t peek(int k) {
+    if (nbits < k) fill();
+    return uint32_t(buf) & ((1u << k) - 1);
+  }
+  inline void drop(int k) {
+    buf >>= k;
+    nbits -= k;
+  }
+  // consume k bits; returns false on underrun
+  inline bool get(int k, uint32_t* out) {
+    if (nbits < k) {
+      fill();
+      if (nbits < k) return false;
+    }
+    *out = uint32_t(buf) & ((1u << k) - 1);
+    drop(k);
+    return true;
+  }
+  inline void align_byte() {
+    int rem = nbits & 7;
+    buf >>= rem;
+    nbits -= rem;
+  }
+};
+
+// decode one symbol; returns 0 ok, ERR_TRUNCATED, ERR_INVALID_CODE
+inline int decode_symbol(Br& br, const uint32_t* table, int root,
+                         uint32_t* op, uint32_t* extra, uint32_t* val) {
+  br.fill();
+  uint32_t e = table[uint32_t(br.buf) & ((1u << root) - 1)];
+  if (e_op(e) == OP_LINK) {
+    uint32_t sub = (uint32_t(br.buf) >> root) & ((1u << e_extra(e)) - 1);
+    e = table[e_val(e) + sub];
+  }
+  int nb = e_nbits(e);
+  if (br.bits_available() < nb) return ERR_TRUNCATED;
+  if (e_op(e) == OP_INVALID) return ERR_INVALID_CODE;
+  br.drop(nb);
+  *op = e_op(e);
+  *extra = e_extra(e);
+  *val = e_val(e);
+  return OK;
+}
+
+struct Tables {
+  uint32_t lit[kEnoughLit];
+  uint32_t dist[kEnoughDist];
+};
+
+// Fixed tables, built once.
+Tables g_fixed;
+bool g_fixed_ready = false;
+void ensure_fixed() {
+  if (g_fixed_ready) return;
+  uint8_t lens[320];
+  for (int i = 0; i < 144; i++) lens[i] = 8;
+  for (int i = 144; i < 256; i++) lens[i] = 9;
+  for (int i = 256; i < 280; i++) lens[i] = 7;
+  for (int i = 280; i < 288; i++) lens[i] = 8;
+  build_table(lens, 288, KIND_LITLEN, kLitRoot, g_fixed.lit, kEnoughLit);
+  for (int i = 0; i < 32; i++) lens[i] = 5;
+  build_table(lens, 32, KIND_DIST, kDistRoot, g_fixed.dist, kEnoughDist);
+  g_fixed_ready = true;
+}
+
+// Parse a dynamic header into tables. Mirrors ../reference.py semantics.
+int read_dynamic(Br& br, Tables* t) {
+  uint32_t hlit5, hdist5, hclen4;
+  if (!br.get(5, &hlit5) || !br.get(5, &hdist5) || !br.get(4, &hclen4))
+    return ERR_TRUNCATED;
+  int hlit = hlit5 + 257, hdist = hdist5 + 1, hclen = hclen4 + 4;
+  if (hlit > 286 || hdist > 30) return ERR_TOO_MANY_SYMBOLS;
+  uint8_t cl_lens[19] = {0};
+  for (int i = 0; i < hclen; i++) {
+    uint32_t v;
+    if (!br.get(3, &v)) return ERR_TRUNCATED;
+    cl_lens[kClOrder[i]] = v;
+  }
+  uint32_t cl_table[kEnoughCl];
+  int err = build_table(cl_lens, 19, KIND_CODELEN, kClRoot, cl_table,
+                        kEnoughCl);
+  if (err) return err;
+  int total = hlit + hdist;
+  uint8_t lens[320];
+  int i = 0;
+  while (i < total) {
+    uint32_t op, extra, sym;
+    err = decode_symbol(br, cl_table, kClRoot, &op, &extra, &sym);
+    if (err) return err;
+    if (sym < 16) {
+      lens[i++] = sym;
+    } else if (sym == 16) {
+      if (i == 0) return ERR_BAD_CL_REPEAT;
+      uint32_t r;
+      if (!br.get(2, &r)) return ERR_TRUNCATED;
+      int rep = 3 + r;
+      if (i + rep > total) return ERR_BAD_CL_REPEAT;
+      uint8_t v = lens[i - 1];
+      for (int k = 0; k < rep; k++) lens[i++] = v;
+    } else {
+      uint32_t r;
+      int rep;
+      if (sym == 17) {
+        if (!br.get(3, &r)) return ERR_TRUNCATED;
+        rep = 3 + r;
+      } else {
+        if (!br.get(7, &r)) return ERR_TRUNCATED;
+        rep = 11 + r;
+      }
+      if (i + rep > total) return ERR_BAD_CL_REPEAT;
+      for (int k = 0; k < rep; k++) lens[i++] = 0;
+    }
+  }
+  if (lens[256] == 0) return ERR_BAD_HUFFMAN;  // missing end-of-block
+  err = build_table(lens, hlit, KIND_LITLEN, kLitRoot, t->lit, kEnoughLit);
+  if (err) return err;
+  return build_table(lens + hlit, hdist, KIND_DIST, kDistRoot, t->dist,
+                     kEnoughDist);
+}
+
+}  // namespace
+
+extern "C" {
+
+struct TokResult {
+  int64_t n_tokens;
+  int64_t end_bit;   // bit position of the clean resume point
+  int64_t total_out;
+  int32_t finished;
+  int32_t err;
+};
+
+// Tokenize a raw-deflate stream into the tape convention of ../tape.py.
+// produced_init/window_len feed distance validation for streaming resume.
+// On ERR_TAPE_OVERFLOW the caller retries with a larger cap.
+int32_t tbz_tokenize(const uint8_t* data, int64_t size, int64_t start_bit,
+                     int64_t window_len, int64_t produced_init,
+                     int32_t* out_len, int32_t* dist, int32_t* root_val,
+                     int64_t cap, TokResult* res) {
+  ensure_fixed();
+  Br br;
+  br.init(data, size, start_bit);
+  Tables dyn;
+  int64_t nt = 0;
+  int64_t produced = produced_init;
+  res->finished = 0;
+  res->err = OK;
+
+  for (;;) {
+    int64_t block_start = br.bit_position();
+    uint32_t bfinal, btype;
+    if (!br.get(1, &bfinal) || !br.get(2, &btype)) {
+      res->err = ERR_TRUNCATED;
+      br.init(data, size, block_start);
+      break;
+    }
+    const uint32_t* lit_t;
+    const uint32_t* dist_t;
+    if (btype == 3) {
+      res->err = ERR_BAD_BLOCK_TYPE;
+      break;
+    }
+    if (btype == 0) {
+      br.align_byte();
+      uint32_t ln, nlen;
+      if (!br.get(16, &ln) || !br.get(16, &nlen)) {
+        res->err = ERR_TRUNCATED;
+        br.init(data, size, block_start);
+        break;
+      }
+      if (ln != (~nlen & 0xFFFF)) {
+        res->err = ERR_STORED_LEN_MISMATCH;
+        break;
+      }
+      if (br.bits_available() < int64_t(ln) * 8) {
+        res->err = ERR_TRUNCATED;
+        br.init(data, size, block_start);
+        break;
+      }
+      if (ln) {
+        if (nt >= cap) {
+          res->err = ERR_TAPE_OVERFLOW;
+          break;
+        }
+        int64_t off = br.bit_position() >> 3;
+        out_len[nt] = ln;
+        dist[nt] = 0;
+        root_val[nt] = STORED_FLAG | int32_t(off);
+        nt++;
+        produced += ln;
+        // skip payload
+        int skip_from_buf = br.nbits < int(ln) * 8 ? br.nbits : int(ln) * 8;
+        // simplest: recompute position
+        int64_t target = br.bit_position() + int64_t(ln) * 8;
+        br.init(data, size, target);
+      }
+      goto block_end;
+    }
+    if (btype == 1) {
+      lit_t = g_fixed.lit;
+      dist_t = g_fixed.dist;
+    } else {
+      int err = read_dynamic(br, &dyn);
+      if (err) {
+        res->err = err;
+        if (err == ERR_TRUNCATED) br.init(data, size, block_start);
+        goto done;
+      }
+      lit_t = dyn.lit;
+      dist_t = dyn.dist;
+    }
+    // symbol loop
+    for (;;) {
+      int64_t sym_start = br.bit_position();
+      uint32_t op, extra, val;
+      int err = decode_symbol(br, lit_t, kLitRoot, &op, &extra, &val);
+      if (err) {
+        res->err = err;
+        if (err == ERR_TRUNCATED) br.init(data, size, sym_start);
+        goto done;
+      }
+      if (op == OP_END) break;
+      if (nt >= cap) {
+        res->err = ERR_TAPE_OVERFLOW;
+        br.init(data, size, sym_start);
+        goto done;
+      }
+      if (op == OP_LITERAL) {
+        out_len[nt] = 1;
+        dist[nt] = 0;
+        root_val[nt] = val;
+        nt++;
+        produced++;
+        continue;
+      }
+      // match
+      uint32_t ebits = 0;
+      if (extra && !br.get(extra, &ebits)) {
+        res->err = ERR_TRUNCATED;
+        br.init(data, size, sym_start);
+        goto done;
+      }
+      int length = val + ebits;
+      uint32_t dop, dextra, dval;
+      err = decode_symbol(br, dist_t, kDistRoot, &dop, &dextra, &dval);
+      if (err) {
+        res->err = err;
+        if (err == ERR_TRUNCATED) br.init(data, size, sym_start);
+        goto done;
+      }
+      uint32_t debits = 0;
+      if (dextra && !br.get(dextra, &debits)) {
+        res->err = ERR_TRUNCATED;
+        br.init(data, size, sym_start);
+        goto done;
+      }
+      int64_t d = dval + debits;
+      if (d > produced + window_len) {
+        res->err = ERR_BAD_DISTANCE;
+        goto done;
+      }
+      out_len[nt] = length;
+      dist[nt] = int32_t(d);
+      root_val[nt] = 0;
+      nt++;
+      produced += length;
+    }
+  block_end:
+    if (bfinal) {
+      res->finished = 1;
+      break;
+    }
+  }
+done:
+  res->n_tokens = nt;
+  res->end_bit = br.bit_position();
+  res->total_out = produced - produced_init;
+  return res->err;
+}
+
+// Resolve a token tape to bytes on the host (oracle/bench path).
+// window: up to 32768 bytes of history. Returns 0 or error.
+int32_t tbz_resolve(const uint8_t* data, int64_t data_size,
+                    const int32_t* out_len, const int32_t* dist,
+                    const int32_t* root_val, int64_t n_tokens,
+                    const uint8_t* window, int64_t window_len,
+                    uint8_t* out, int64_t out_cap) {
+  int64_t pos = 0;
+  for (int64_t i = 0; i < n_tokens; i++) {
+    int32_t ln = out_len[i];
+    if (pos + ln > out_cap) return ERR_TAPE_OVERFLOW;
+    int32_t d = dist[i];
+    if (d) {
+      int64_t src = pos - d;
+      if (src < -window_len) return ERR_BAD_DISTANCE;
+      int64_t k = 0;
+      while (src + k < 0 && k < ln)
+        out[pos + k] = window[window_len + src + k], k++;
+      for (; k < ln; k++) out[pos + k] = out[src + k];
+      pos += ln;
+    } else if (root_val[i] & STORED_FLAG) {
+      int64_t off = root_val[i] & (STORED_FLAG - 1);
+      if (off + ln > data_size) return ERR_TRUNCATED;
+      std::memcpy(out + pos, data + off, ln);
+      pos += ln;
+    } else {
+      out[pos++] = uint8_t(root_val[i]);
+    }
+  }
+  return OK;
+}
+
+// ---- LZ77 matcher ---------------------------------------------------------
+// Hash-chain lazy matcher. Returns token count, or -1 on cap overflow.
+// Own implementation of the standard scheme (zlib-class quality).
+int64_t tbz_match(const uint8_t* b, int64_t n, int32_t level,
+                  int32_t* out_len, int32_t* dist, int32_t* lit,
+                  int64_t cap) {
+  struct Cfg {
+    int good, lazy, nice, chain;
+  };
+  static const Cfg cfgs[10] = {
+      {0, 0, 0, 0},        {4, 0, 8, 4},      {4, 0, 16, 8},
+      {4, 0, 32, 32},      {4, 4, 16, 16},    {8, 16, 32, 32},
+      {8, 16, 128, 128},   {8, 32, 128, 256}, {32, 128, 258, 1024},
+      {32, 258, 258, 4096}};
+  Cfg cfg = cfgs[level < 1 ? 1 : (level > 9 ? 9 : level)];
+  constexpr int HBITS = 15, HSIZE = 1 << HBITS;
+  constexpr int MIN_MATCH = 3, MAX_MATCH = 258, MAX_DIST = 32768;
+  constexpr int TOO_FAR = 4096;  // reject len-3 matches farther than this
+
+  int32_t* head = new int32_t[HSIZE];
+  int32_t* prev = new int32_t[n > 0 ? n : 1];
+  for (int i = 0; i < HSIZE; i++) head[i] = -1;
+
+  auto hash3 = [&](int64_t i) -> uint32_t {
+    return ((uint32_t(b[i]) << 10) ^ (uint32_t(b[i + 1]) << 5) ^
+            b[i + 2]) & (HSIZE - 1);
+  };
+  auto insert = [&](int64_t i) {
+    if (i + MIN_MATCH <= n) {
+      uint32_t h = hash3(i);
+      prev[i] = head[h];
+      head[h] = int32_t(i);
+    }
+  };
+  // find best match at i (i not yet inserted)
+  auto find = [&](int64_t i, int* best_len, int64_t* best_dist,
+                  int prev_len) {
+    *best_len = 0;
+    *best_dist = 0;
+    if (i + MIN_MATCH > n) return;
+    int max_len = int(n - i < MAX_MATCH ? n - i : MAX_MATCH);
+    int chain = cfg.chain;
+    if (prev_len >= cfg.good) chain >>= 2;
+    int bl = MIN_MATCH - 1;
+    int64_t cand = head[hash3(i)];
+    while (cand >= 0 && i - cand <= MAX_DIST && chain-- > 0) {
+      if (b[cand + bl] == b[i + bl] && b[cand] == b[i]) {
+        int l = 0;
+        while (l < max_len && b[cand + l] == b[i + l]) l++;
+        if (l > bl && !(l == MIN_MATCH && i - cand > TOO_FAR)) {
+          bl = l;
+          *best_dist = i - cand;
+          if (l >= cfg.nice) break;
+        }
+      }
+      cand = prev[cand];
+    }
+    if (bl >= MIN_MATCH) *best_len = bl;
+  };
+
+  int64_t nt = 0;
+  int64_t i = 0;
+  auto emit_lit = [&](int64_t p) -> bool {
+    if (nt >= cap) return false;
+    out_len[nt] = 1;
+    dist[nt] = 0;
+    lit[nt] = b[p];
+    nt++;
+    return true;
+  };
+  int cur_len = 0;
+  int64_t cur_dist = 0;
+  while (i < n) {
+    find(i, &cur_len, &cur_dist, 0);
+    insert(i);
+    if (cur_len >= MIN_MATCH && cfg.lazy && cur_len < cfg.lazy &&
+        i + 1 < n) {
+      int nl;
+      int64_t nd;
+      find(i + 1, &nl, &nd, cur_len);
+      if (nl > cur_len) {
+        if (!emit_lit(i)) goto overflow;
+        i += 1;
+        continue;
+      }
+    }
+    if (cur_len >= MIN_MATCH) {
+      if (nt >= cap) goto overflow;
+      out_len[nt] = cur_len;
+      dist[nt] = int32_t(cur_dist);
+      lit[nt] = 0;
+      nt++;
+      for (int64_t k = i + 1; k < i + cur_len; k++) insert(k);
+      i += cur_len;
+    } else {
+      if (!emit_lit(i)) goto overflow;
+      i += 1;
+    }
+  }
+  delete[] head;
+  delete[] prev;
+  return nt;
+overflow:
+  delete[] head;
+  delete[] prev;
+  return -1;
+}
+
+}  // extern "C"

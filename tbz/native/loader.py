@@ -1,0 +1,162 @@
+"""ctypes loader for the native runtime (frontend.cc).
+
+Compiled on demand with g++ into tbz/native/build/ (cache keyed on
+source mtime). Exposes the same tokenize/match/resolve contracts as the
+Python implementations; tests cross-check the two.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+import threading
+
+import numpy as np
+
+from ..errors import TruncatedError, raise_for_code, ERR_TRUNCATED, ERR_TAPE_OVERFLOW
+from ..tape import FrontendResult, TokenTape
+
+_HERE = os.path.dirname(os.path.abspath(__file__))
+_SRC = os.path.join(_HERE, "frontend.cc")
+_BUILD_DIR = os.path.join(_HERE, "build")
+_SO = os.path.join(_BUILD_DIR, "libtbz.so")
+
+_lib = None
+_lock = threading.Lock()
+_build_failed = False
+
+
+class _TokResult(ctypes.Structure):
+    _fields_ = [
+        ("n_tokens", ctypes.c_int64),
+        ("end_bit", ctypes.c_int64),
+        ("total_out", ctypes.c_int64),
+        ("finished", ctypes.c_int32),
+        ("err", ctypes.c_int32),
+    ]
+
+
+def _build() -> str | None:
+    os.makedirs(_BUILD_DIR, exist_ok=True)
+    if (os.path.exists(_SO)
+            and os.path.getmtime(_SO) >= os.path.getmtime(_SRC)):
+        return _SO
+    cmd = ["g++", "-O3", "-shared", "-fPIC", "-std=c++17",
+           "-o", _SO + ".tmp", _SRC]
+    try:
+        subprocess.run(cmd, check=True, capture_output=True, timeout=300)
+        os.replace(_SO + ".tmp", _SO)
+        return _SO
+    except (subprocess.CalledProcessError, subprocess.TimeoutExpired,
+            FileNotFoundError) as e:
+        err = getattr(e, "stderr", b"")
+        raise RuntimeError(f"native build failed: {err!r}") from e
+
+
+def _load():
+    global _lib, _build_failed
+    with _lock:
+        if _lib is not None or _build_failed:
+            return _lib
+        try:
+            so = _build()
+        except RuntimeError:
+            _build_failed = True
+            return None
+        lib = ctypes.CDLL(so)
+        lib.tbz_tokenize.restype = ctypes.c_int32
+        lib.tbz_tokenize.argtypes = [
+            ctypes.c_char_p, ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
+            ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int32),
+            ctypes.POINTER(ctypes.c_int32), ctypes.c_int64,
+            ctypes.POINTER(_TokResult)]
+        lib.tbz_resolve.restype = ctypes.c_int32
+        lib.tbz_resolve.argtypes = [
+            ctypes.c_char_p, ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int32),
+            ctypes.POINTER(ctypes.c_int32), ctypes.c_int64,
+            ctypes.c_char_p, ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_uint8), ctypes.c_int64]
+        lib.tbz_match.restype = ctypes.c_int64
+        lib.tbz_match.argtypes = [
+            ctypes.c_char_p, ctypes.c_int64, ctypes.c_int32,
+            ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int32),
+            ctypes.POINTER(ctypes.c_int32), ctypes.c_int64]
+        _lib = lib
+        return _lib
+
+
+def available() -> bool:
+    return _load() is not None
+
+
+def _i32p(a: np.ndarray):
+    return a.ctypes.data_as(ctypes.POINTER(ctypes.c_int32))
+
+
+def tokenize(data, bit_pos: int = 0, window_len: int = 0,
+             produced_init: int = 0) -> FrontendResult:
+    """Native tokenizer; same contract as reference.tokenize_host
+    (raises on malformed/truncated input)."""
+    lib = _load()
+    data = bytes(data)
+    # ~0.5 tokens per compressed byte is typical; x4 retry covers the rest.
+    cap = max(1024, len(data))
+    while True:
+        out_len = np.empty(cap, np.int32)
+        dist = np.empty(cap, np.int32)
+        root_val = np.empty(cap, np.int32)
+        res = _TokResult()
+        lib.tbz_tokenize(data, len(data), bit_pos, window_len,
+                         produced_init, _i32p(out_len), _i32p(dist),
+                         _i32p(root_val), cap, ctypes.byref(res))
+        if res.err == ERR_TAPE_OVERFLOW:
+            cap *= 4
+            continue
+        if res.err == ERR_TRUNCATED:
+            raise TruncatedError("input underrun")
+        raise_for_code(res.err)
+        n = res.n_tokens
+        tape = TokenTape(out_len=out_len[:n], dist=dist[:n],
+                         root_val=root_val[:n], total_out=int(res.total_out))
+        return FrontendResult(tape=tape, blocks=[], end_bit=int(res.end_bit),
+                              finished=bool(res.finished))
+
+
+def resolve(tape: TokenTape, data, window: bytes = b"") -> bytes:
+    """Native host resolver (oracle/bench peer of ops/resolve.py)."""
+    lib = _load()
+    data = bytes(data)
+    window = bytes(window)
+    out = np.empty(tape.total_out, np.uint8)
+    ol = np.ascontiguousarray(tape.out_len, np.int32)
+    di = np.ascontiguousarray(tape.dist, np.int32)
+    rv = np.ascontiguousarray(tape.root_val, np.int32)
+    err = lib.tbz_resolve(
+        data, len(data), _i32p(ol), _i32p(di), _i32p(rv), len(ol),
+        window, len(window),
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), len(out))
+    raise_for_code(err)
+    return out.tobytes()
+
+
+def inflate(data, bit_pos: int = 0, window: bytes = b"") -> tuple[bytes, int, bool]:
+    """Full native inflate (tokenize + resolve)."""
+    res = tokenize(data, bit_pos, window_len=len(window))
+    return resolve(res.tape, data, window), res.end_bit, res.finished
+
+
+def lz77_match(data, level: int = 6):
+    """Native hash-chain lazy matcher. Returns (out_len, dist, lit)."""
+    lib = _load()
+    data = bytes(data)
+    cap = len(data) + 1
+    out_len = np.empty(cap, np.int32)
+    dist = np.empty(cap, np.int32)
+    lit = np.empty(cap, np.int32)
+    n = lib.tbz_match(data, len(data), level, _i32p(out_len), _i32p(dist),
+                      _i32p(lit), cap)
+    assert n >= 0, "matcher capacity overflow (impossible: cap=n+1)"
+    return out_len[:n].copy(), dist[:n].copy(), lit[:n].copy()
