@@ -1,0 +1,251 @@
+"""Sharded decode: data-parallel streams + sequence-parallel checksums.
+
+BASELINE config 5's shape: independent gzip members / deflate streams
+sharded over the 'dp' mesh axis with shard_map — each device resolves and
+checksums its local streams (vmapped kernels), outputs assembled in
+stream order by the global output sharding. A single long stream's
+checksum can instead be sequence-sharded: per-device *linear* partials
+are all-gathered (tiny) and folded in order with constant GF(2) shift
+matrices / length-weighted Adler merges — the codec's analog of a
+tree-combined collective reduction.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import NamedSharding, PartitionSpec as P
+from jax import shard_map
+
+from .. import checksums as cs
+from ..ops import resolve as R
+from ..tape import TokenTape
+from .mesh import make_mesh
+
+W = R.W
+
+
+# --- batched device kernels -------------------------------------------------
+
+@functools.partial(jax.jit, static_argnames=("out_capacity",))
+def _resolve_batch(out_len, dist, root_val, n_tokens, total_out,
+                   input_bytes, window, out_capacity: int):
+    f = functools.partial(R._resolve_impl, out_capacity=out_capacity)
+    return jax.vmap(f)(out_len, dist, root_val, n_tokens, total_out,
+                       input_bytes, window)
+
+
+def _crc_batch(bodies, lens):
+    f = lambda d, n: cs._crc32_device_tail(d, n, jnp.uint32(0),
+                                           cs.CRC_LANE_BYTES)
+    return jax.vmap(f)(bodies, jnp.asarray(lens, jnp.uint32))
+
+
+def _adler_batch(bodies, lens):
+    f = lambda d, n: cs._adler32_device_tail(d, n, jnp.uint32(1),
+                                             cs.ADLER_CHUNK)
+    return jax.vmap(f)(bodies, jnp.asarray(lens, jnp.uint32))
+
+
+# --- member-parallel pipeline ----------------------------------------------
+
+def _pow2(n, floor):
+    n = max(n, floor)
+    return 1 << (n - 1).bit_length()
+
+
+def decode_streams_sharded(payloads: list[bytes], mesh=None,
+                           format: str = "auto", verify: bool = True):
+    """Decode independent raw/zlib/gzip streams data-parallel over the
+    mesh's devices. Returns (outputs, checksums_verified).
+
+    Host frontends tokenize (sequential-irreducible); the device mesh
+    resolves + checksums every stream in parallel; outputs come back in
+    stream order (ordered gather via the global output sharding).
+    """
+    from .. import api, frontend
+    from ..formats import gzip_fmt, zlib_fmt
+
+    if mesh is None:
+        mesh = make_mesh(sp=1)
+    ndev = mesh.devices.size
+
+    metas = []
+    for p in payloads:
+        p = bytes(p)
+        fmt = api.detect_format(p) if format == "auto" else format
+        if fmt == "gzip":
+            hdr = gzip_fmt.parse_header(p, 0)
+            body = p[hdr.data_offset:]
+            res = frontend.tokenize(body)
+            crc, isize = gzip_fmt.read_trailer(
+                body, (res.end_bit + 7) // 8)
+            metas.append((fmt, body, res, ("crc32", crc, isize)))
+        elif fmt == "zlib":
+            hdr = zlib_fmt.parse_header(p)
+            body = p[hdr.data_offset:]
+            res = frontend.tokenize(body)
+            adler = zlib_fmt.read_trailer(body, (res.end_bit + 7) // 8)
+            metas.append((fmt, body, res, ("adler32", adler, None)))
+        else:
+            res = frontend.tokenize(p)
+            metas.append((fmt, p, res, (None, None, None)))
+
+    S = len(metas)
+    S_pad = -(-S // ndev) * ndev
+    T = _pow2(max(len(m[2].tape) for m in metas), 1024)
+    cap = _pow2(max(m[2].tape.total_out for m in metas), 4096)
+    M = _pow2(max(len(m[1]) for m in metas), 1024)
+
+    out_len = np.zeros((S_pad, T), np.int32)
+    dist = np.zeros((S_pad, T), np.int32)
+    root_val = np.zeros((S_pad, T), np.int32)
+    n_tokens = np.zeros(S_pad, np.int32)
+    total_out = np.zeros(S_pad, np.int32)
+    inputs = np.zeros((S_pad, M), np.uint8)
+    windows = np.zeros((S_pad, W), np.uint8)
+    for i, (fmt, body, res, _) in enumerate(metas):
+        t = res.tape
+        n = len(t)
+        out_len[i, :n] = t.out_len
+        dist[i, :n] = t.dist
+        root_val[i, :n] = t.root_val
+        n_tokens[i] = n
+        total_out[i] = t.total_out
+        inputs[i, :len(body)] = np.frombuffer(body, np.uint8)
+
+    sharding = NamedSharding(mesh, P("dp"))
+
+    def put(x):
+        spec = P("dp", *([None] * (x.ndim - 1)))
+        return jax.device_put(x, NamedSharding(mesh, spec))
+
+    out = _resolve_batch(put(out_len), put(dist), put(root_val),
+                         put(n_tokens), put(total_out), put(inputs),
+                         put(windows), cap)
+    bodies = out[:, W:]
+    crcs = np.asarray(_crc_batch(bodies, jnp.asarray(total_out)))
+    adlers = np.asarray(_adler_batch(bodies, jnp.asarray(total_out)))
+
+    outputs = []
+    host = np.asarray(bodies)
+    for i, (fmt, body, res, (kind, expect, isize)) in enumerate(metas):
+        ob = host[i, :int(total_out[i])].tobytes()
+        if verify and kind == "crc32":
+            gzip_fmt.check_trailer(expect, int(crcs[i]), isize, len(ob))
+        elif verify and kind == "adler32":
+            zlib_fmt.check_adler(expect, int(adlers[i]))
+        outputs.append(ob)
+    return outputs
+
+
+# --- sequence-parallel checksums (single stream sharded over devices) -------
+
+def make_sharded_crc32(mesh, n_total_padded: int, axis: str = "dp"):
+    """Build a jitted sequence-sharded CRC-32 over a (padded) uint8 array
+    sharded on `axis`. Contract: bytes past `n` are zero.
+
+    Per-shard linear CRCs fold left-to-right with a constant x^(8*C)
+    matrix — the ordered tree combine of SURVEY §5.8.
+    """
+    ndev = mesh.shape[axis]
+    assert n_total_padded % (ndev * cs.CRC_LANE_BYTES) == 0
+    C = n_total_padded // ndev  # bytes per shard
+    shift_c = jnp.asarray(cs._shift_bitmat_np(C))
+
+    def local_linear(x):
+        """Zero-init linear CRC of a shard (lane tree, no conditioning)."""
+        K = x.shape[0] // cs.CRC_LANE_BYTES
+        cols = x.reshape(K, cs.CRC_LANE_BYTES).astype(jnp.uint32).T
+        table = jnp.asarray(cs.crc_table())
+
+        def body(j, reg):
+            return (reg >> 8) ^ table[(reg ^ cols[j]) & 0xFF]
+
+        regs = jax.lax.fori_loop(0, cs.CRC_LANE_BYTES, body,
+                                 jnp.zeros(K, jnp.uint32))
+        K2 = 1 << max(0, (K - 1).bit_length())
+        if K2 != K:
+            regs = jnp.concatenate([jnp.zeros(K2 - K, jnp.uint32), regs])
+        level = cs.CRC_LANE_BYTES
+        while regs.shape[0] > 1:
+            mat = jnp.asarray(cs._shift_bitmat_np(level))
+            regs = cs._gf2_apply_device(mat, regs[0::2]) ^ regs[1::2]
+            level *= 2
+        return regs[0]
+
+    def shard_fn(x, n):
+        lin = local_linear(x)
+        parts = jax.lax.all_gather(lin, axis)  # (ndev,) tiny
+
+        def fold(carry, part):
+            return cs._gf2_apply_device(shift_c, carry) ^ part, None
+
+        lin_total, _ = jax.lax.scan(fold, jnp.uint32(0), parts)
+        zbits = jnp.uint32(8) * (jnp.uint32(n_total_padded) - n)
+        lin_real = cs._crc_unshift_dynamic_device(lin_total, zbits)
+        init = cs._crc_shift_dynamic_device(jnp.uint32(0xFFFFFFFF),
+                                            jnp.uint32(8) * n)
+        return (lin_real ^ init) ^ jnp.uint32(0xFFFFFFFF)
+
+    fn = shard_map(shard_fn, mesh=mesh,
+                   in_specs=(P(axis), P()), out_specs=P(),
+                   check_vma=False)
+    return jax.jit(fn)
+
+
+def make_sharded_adler32(mesh, n_total_padded: int, axis: str = "dp"):
+    """Sequence-sharded Adler-32 (same contract as make_sharded_crc32)."""
+    ndev = mesh.shape[axis]
+    assert n_total_padded % (ndev * cs.ADLER_CHUNK) == 0
+    C = n_total_padded // ndev
+    m = jnp.uint32(cs.ADLER_MOD)
+
+    def local_sums(x):
+        K = x.shape[0] // cs.ADLER_CHUNK
+        xc = x.reshape(K, cs.ADLER_CHUNK).astype(jnp.uint32)
+        w = jnp.arange(cs.ADLER_CHUNK, 0, -1, dtype=jnp.uint32)
+        sa = jnp.sum(xc, axis=1, dtype=jnp.uint32) % m
+        sb = jnp.sum(xc * w, axis=1, dtype=jnp.uint32) % m
+        K2 = 1 << max(0, (K - 1).bit_length())
+        if K2 != K:
+            sa = jnp.concatenate([sa, jnp.zeros(K2 - K, jnp.uint32)])
+            sb = jnp.concatenate([sb, jnp.zeros(K2 - K, jnp.uint32)])
+        level = cs.ADLER_CHUNK
+        while sa.shape[0] > 1:
+            l2 = jnp.uint32(level % cs.ADLER_MOD)
+            sb = (sb[0::2] + l2 * sa[0::2] + sb[1::2]) % m
+            sa = (sa[0::2] + sa[1::2]) % m
+            level *= 2
+        # Pow2 chunk padding added (K2*chunk - C) phantom trailing zeros to
+        # this shard; remove their weight so the fold sees exactly C bytes.
+        z_local = jnp.uint32((K2 * cs.ADLER_CHUNK - C) % cs.ADLER_MOD)
+        sb0 = (sb[0] + m - (z_local * sa[0]) % m) % m
+        return sa[0], sb0
+
+    def shard_fn(x, n):
+        sa, sb = local_sums(x)
+        sas = jax.lax.all_gather(sa, axis)
+        sbs = jax.lax.all_gather(sb, axis)
+        c_mod = jnp.uint32(C % cs.ADLER_MOD)
+
+        def fold(carry, part):
+            ca, cb = carry
+            pa, pb = part
+            return ((ca + pa) % m, (cb + c_mod * ca + pb) % m), None
+
+        (sa_t, sb_t), _ = jax.lax.scan(fold, (jnp.uint32(0), jnp.uint32(0)),
+                                       (sas, sbs))
+        z = (jnp.uint32(n_total_padded) - n) % m
+        sb_t = (sb_t + m - (z * sa_t) % m) % m
+        a = (jnp.uint32(1) + sa_t) % m
+        b = ((n % m) + sb_t) % m
+        return (b << 16) | a
+
+    fn = shard_map(shard_fn, mesh=mesh,
+                   in_specs=(P(axis), P()), out_specs=P(),
+                   check_vma=False)
+    return jax.jit(fn)

@@ -1,0 +1,97 @@
+"""Multi-device tests on the 8-virtual-device CPU mesh (the SURVEY §4
+distributed-testing stand-in): member-parallel sharded decode and
+sequence-sharded checksum combines."""
+
+import gzip as _gzip
+import zlib
+
+import numpy as np
+import pytest
+
+import jax
+
+from tbz import checksums as cs
+from tbz.parallel import shard
+from tbz.parallel.mesh import make_mesh
+
+from util import corpus
+
+
+@pytest.fixture(scope="module")
+def mesh():
+    assert len(jax.devices()) == 8, jax.devices()
+    return make_mesh(sp=1)
+
+
+def test_member_parallel_gzip(mesh):
+    streams = [corpus(i, 10000 + 3000 * i) for i in range(11)]
+    payloads = [_gzip.compress(s, 9) for s in streams]
+    outs = shard.decode_streams_sharded(payloads, mesh, format="gzip")
+    assert outs == streams
+
+
+def test_member_parallel_mixed_formats(mesh):
+    streams = [corpus(i + 20, 5000 + i * 777) for i in range(5)]
+    payloads = [
+        _gzip.compress(streams[0], 6),
+        zlib.compress(streams[1], 9),
+        _gzip.compress(streams[2], 1),
+        zlib.compress(streams[3], 0),
+        _gzip.compress(streams[4], 9),
+    ]
+    outs = shard.decode_streams_sharded(payloads, mesh, format="auto")
+    assert outs == streams
+
+
+def test_member_parallel_checksum_detects_corruption(mesh):
+    streams = [corpus(i, 20000) for i in range(3)]
+    payloads = [bytearray(_gzip.compress(s)) for s in streams]
+    payloads[1][-6] ^= 0xFF  # corrupt CRC of member 1
+    from tbz.errors import ChecksumError
+    with pytest.raises(ChecksumError):
+        shard.decode_streams_sharded([bytes(p) for p in payloads], mesh,
+                                     format="gzip")
+
+
+def test_sharded_crc32(mesh):
+    N = 8 * 4096
+    fn = shard.make_sharded_crc32(mesh, N)
+    for n in (0, 1, 5000, N - 1, N):
+        data = corpus(n % 7, n)
+        arr = np.zeros(N, np.uint8)
+        arr[:n] = np.frombuffer(data, np.uint8)
+        got = int(fn(arr, np.uint32(n)))
+        assert got == zlib.crc32(data), n
+
+
+def test_sharded_adler32(mesh):
+    N = 8 * 8192
+    fn = shard.make_sharded_adler32(mesh, N)
+    for n in (0, 1, 5000, 40000, N):
+        data = corpus(n % 5 + 1, n)
+        arr = np.zeros(N, np.uint8)
+        arr[:n] = np.frombuffer(data, np.uint8)
+        got = int(fn(arr, np.uint32(n)))
+        assert got == zlib.adler32(data), n
+
+
+def test_sharded_crc_odd_lane_count(mesh):
+    """Non-pow2 lanes per shard exercises the front-pad identity path."""
+    N = 8 * 128 * 3  # 3 lanes/shard
+    fn = shard.make_sharded_crc32(mesh, N)
+    data = corpus(2, N)
+    got = int(fn(np.frombuffer(data, np.uint8), np.uint32(N)))
+    assert got == zlib.crc32(data)
+
+
+def test_single_device_mesh_paths():
+    """Same code on a 1-device mesh (the real-chip bench configuration)."""
+    m = make_mesh(n_devices=1, sp=1)
+    data = corpus(3, 30000)
+    payloads = [zlib.compress(data, 9)]
+    assert shard.decode_streams_sharded(payloads, m) == [data]
+    N = 8192
+    fn = shard.make_sharded_crc32(m, N)
+    arr = np.zeros(N, np.uint8)
+    arr[:3000] = np.frombuffer(data[:3000], np.uint8)
+    assert int(fn(arr, np.uint32(3000))) == zlib.crc32(data[:3000])
