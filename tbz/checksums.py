@@ -252,13 +252,67 @@ def _adler32_device(data: jnp.ndarray, n: jnp.ndarray,
 CRC_LANE_BYTES = 128  # bytes per lane; lanes are tree-combined
 
 
+@functools.lru_cache(maxsize=None)
+def _lane_matrix_np(lane_bytes: int) -> np.ndarray:
+    """(8*lane_bytes, 32) int8 GF(2) matrix mapping a lane's byte-bits to
+    its zero-init linear CRC: row (8j+b) = x^(8(B-1-j)) * L(byte 1<<b).
+
+    CRC is GF(2)-linear, so a whole lane's CRC is ONE bit-matrix matmul —
+    the MXU formulation of the reference's byte-serial table loop
+    (checksums.lisp:196-210)."""
+    B = lane_bytes
+    t = crc_table()
+    rows = np.zeros((8 * B, 32), dtype=np.int8)
+    for j in range(B):
+        shift = list(_shift_matrix(B - 1 - j))
+        for b in range(8):
+            v = _gf2_matrix_times(shift, int(t[1 << b]))
+            for k in range(32):
+                rows[8 * j + b, k] = (v >> k) & 1
+    return rows
+
+
+def _lane_bits(x_masked: jnp.ndarray, lane_bytes: int) -> jnp.ndarray:
+    """uint8[N] -> per-lane bit rows (K, 8*lane_bytes) int8."""
+    K = x_masked.shape[0] // lane_bytes
+    lane = x_masked.reshape(K, lane_bytes, 1)
+    shifts = jnp.arange(8, dtype=jnp.uint8)
+    bits = (lane >> shifts) & 1
+    return bits.reshape(K, 8 * lane_bytes).astype(jnp.int8)
+
+
+def _crc_linear_from_masked(x_masked: jnp.ndarray,
+                            lane_bytes: int) -> jnp.ndarray:
+    """Zero-init linear CRC of the full (masked) padded array — all
+    matmuls: one (K, 8B)@(8B, 32) per-lane pass, then log2(K) pairwise
+    (K/2, 32)@(32, 32) tree levels. No gathers, no sequential loops."""
+    K = x_masked.shape[0] // lane_bytes
+    bits = _lane_bits(x_masked, lane_bytes)
+    T = jnp.asarray(_lane_matrix_np(lane_bytes))
+    regs = jnp.matmul(bits, T, preferred_element_type=jnp.int32) & 1
+    regs = regs.astype(jnp.int8)  # (K, 32) bit rows
+    K2 = 1 << max(0, (K - 1).bit_length())
+    if K2 != K:  # identity lanes on the LEFT (leading zeros are free)
+        regs = jnp.concatenate(
+            [jnp.zeros((K2 - K, 32), jnp.int8), regs])
+    level_bytes = lane_bytes
+    while regs.shape[0] > 1:
+        mat = jnp.asarray(_shift_bitmat_np(level_bytes))
+        pairs = regs.reshape(-1, 2, 32)
+        left = jnp.matmul(pairs[:, 0, :], mat,
+                          preferred_element_type=jnp.int32)
+        regs = ((left + pairs[:, 1, :]) & 1).astype(jnp.int8)
+        level_bytes *= 2
+    weights = jnp.uint32(1) << jnp.arange(32, dtype=jnp.uint32)
+    return jnp.sum(regs[0].astype(jnp.uint32) * weights, dtype=jnp.uint32)
+
+
 def crc32_device(data, n, prev=0, lane_bytes: int = CRC_LANE_BYTES):
     """CRC-32 of the last `n` bytes of uint8 `data`, continuing from
     `prev`. len(data) must be a multiple of lane_bytes. Returns uint32.
 
     Math: reg(init=~prev, data) = L(data) ^ (~prev)·x^{8n}; crc = ~reg.
-    L computed as per-lane zero-init table CRCs merged by constant
-    GF(2) shift matrices per tree level (front-padding is free for L).
+    L computed with the MXU bit-matmul scheme (front-padding is free).
     """
     return _crc32_device(data, np.uint32(n), np.uint32(prev), lane_bytes)
 
@@ -271,30 +325,8 @@ def _crc32_device(data: jnp.ndarray, n: jnp.ndarray,
     n = jnp.asarray(n, jnp.uint32)
     prev = jnp.asarray(prev, jnp.uint32)
     idx = jnp.arange(N, dtype=jnp.uint32)
-    x = jnp.where(idx >= (N - n), data, 0).astype(jnp.uint32)
-    K = N // lane_bytes
-    cols = x.reshape(K, lane_bytes).T  # (lane_bytes, K): column-major steps
-    table = jnp.asarray(crc_table())
-
-    def body(j, reg):
-        b = cols[j]
-        return (reg >> 8) ^ table[(reg ^ b) & 0xFF]
-
-    regs = jax.lax.fori_loop(0, lane_bytes,
-                             body, jnp.zeros(K, jnp.uint32))
-
-    # Tree combine: L(concat(A,B)) = L(A)*x^{8 lenB} ^ L(B).
-    K2 = 1 << max(0, (K - 1).bit_length())
-    if K2 != K:
-        regs = jnp.concatenate([jnp.zeros(K2 - K, jnp.uint32), regs])
-    level_bytes = lane_bytes
-    while regs.shape[0] > 1:
-        mat = jnp.asarray(_shift_bitmat_np(level_bytes))
-        left, right = regs[0::2], regs[1::2]
-        regs = _gf2_apply_device(mat, left) ^ right
-        level_bytes *= 2
-    lin = regs[0]
-
+    x = jnp.where(idx >= (N - n), data, 0)
+    lin = _crc_linear_from_masked(x, lane_bytes)
     init = _crc_shift_dynamic_device(~prev & jnp.uint32(0xFFFFFFFF),
                                      jnp.uint32(8) * n)
     return (lin ^ init) ^ jnp.uint32(0xFFFFFFFF)
@@ -395,28 +427,10 @@ def _crc32_device_tail(data, n, prev, lane_bytes):
     N = data.shape[0]
     assert N % lane_bytes == 0
     idx = jnp.arange(N, dtype=jnp.uint32)
-    x = jnp.where(idx < n, data, 0).astype(jnp.uint32)
-    K = N // lane_bytes
-    cols = x.reshape(K, lane_bytes).T
-    table = jnp.asarray(crc_table())
-
-    def body(j, reg):
-        b = cols[j]
-        return (reg >> 8) ^ table[(reg ^ b) & 0xFF]
-
-    regs = jax.lax.fori_loop(0, lane_bytes, body, jnp.zeros(K, jnp.uint32))
-    K2 = 1 << max(0, (K - 1).bit_length())
-    if K2 != K:  # identity lanes appended on the LEFT keeps tree math valid
-        regs = jnp.concatenate([jnp.zeros(K2 - K, jnp.uint32), regs])
-    level_bytes = lane_bytes
-    while regs.shape[0] > 1:
-        mat = jnp.asarray(_shift_bitmat_np(level_bytes))
-        left, right = regs[0::2], regs[1::2]
-        regs = _gf2_apply_device(mat, left) ^ right
-        level_bytes *= 2
-    lin_padded = regs[0]
+    x = jnp.where(idx < n, data, 0)
+    lin_padded = _crc_linear_from_masked(x, lane_bytes)
     # L(X·0^Z) = L(X)·x^{8Z}  ->  undo the trailing zeros.
-    zbits = jnp.uint32(8) * (jnp.uint32(K * lane_bytes) - n)
+    zbits = jnp.uint32(8) * (jnp.uint32(N) - n)
     lin = _crc_unshift_dynamic_device(lin_padded, zbits)
     init = _crc_shift_dynamic_device(~prev & jnp.uint32(0xFFFFFFFF),
                                      jnp.uint32(8) * n)

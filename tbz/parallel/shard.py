@@ -156,29 +156,9 @@ def make_sharded_crc32(mesh, n_total_padded: int, axis: str = "dp"):
     C = n_total_padded // ndev  # bytes per shard
     shift_c = jnp.asarray(cs._shift_bitmat_np(C))
 
-    def local_linear(x):
-        """Zero-init linear CRC of a shard (lane tree, no conditioning)."""
-        K = x.shape[0] // cs.CRC_LANE_BYTES
-        cols = x.reshape(K, cs.CRC_LANE_BYTES).astype(jnp.uint32).T
-        table = jnp.asarray(cs.crc_table())
-
-        def body(j, reg):
-            return (reg >> 8) ^ table[(reg ^ cols[j]) & 0xFF]
-
-        regs = jax.lax.fori_loop(0, cs.CRC_LANE_BYTES, body,
-                                 jnp.zeros(K, jnp.uint32))
-        K2 = 1 << max(0, (K - 1).bit_length())
-        if K2 != K:
-            regs = jnp.concatenate([jnp.zeros(K2 - K, jnp.uint32), regs])
-        level = cs.CRC_LANE_BYTES
-        while regs.shape[0] > 1:
-            mat = jnp.asarray(cs._shift_bitmat_np(level))
-            regs = cs._gf2_apply_device(mat, regs[0::2]) ^ regs[1::2]
-            level *= 2
-        return regs[0]
-
     def shard_fn(x, n):
-        lin = local_linear(x)
+        # Zero-init linear CRC of the local shard (MXU bit-matmul path).
+        lin = cs._crc_linear_from_masked(x, cs.CRC_LANE_BYTES)
         parts = jax.lax.all_gather(lin, axis)  # (ndev,) tiny
 
         def fold(carry, part):
