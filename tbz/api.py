@@ -20,7 +20,11 @@ from .errors import DeflateError, TruncatedError, ERR_HEADER
 from .formats import gzip_fmt, zlib_fmt
 from .tape import FrontendResult
 
-_DEVICE_MIN_BYTES = 1 << 16  # below this, host resolve beats device latency
+# Backend policy: 'auto' resolves on the host (native C++ when built) and
+# verifies checksums host-side; 'device' runs LZ77 resolution + checksum
+# verification on the accelerator (the XLA gather-based resolver — on
+# current TPU backends XLA's gather throughput makes 'host' the faster
+# default; the policy flips per-op as Pallas kernels land).
 
 
 @dataclasses.dataclass
@@ -51,8 +55,13 @@ def detect_format(data: bytes) -> str:
 def _resolve(res: FrontendResult, data: bytes, window: bytes,
              backend: str):
     """Returns (output_bytes, device_buffer_or_None, capacity)."""
-    if backend == "host" or (backend == "auto"
-                             and res.tape.total_out < _DEVICE_MIN_BYTES):
+    if backend in ("host", "auto"):
+        try:
+            from .native import loader
+            if loader.available():
+                return loader.resolve(res.tape, data, window), None, 0
+        except ImportError:
+            pass
         from . import reference
         return reference.resolve_host(res.tape, data, window), None, 0
     from .ops import resolve as _r

@@ -10,6 +10,7 @@
 // Build: g++ -O3 -shared -fPIC -o libtbz.so frontend.cc
 
 #include <cstdint>
+#include <cstdlib>
 #include <cstring>
 
 namespace {
@@ -318,6 +319,30 @@ int read_dynamic(Br& br, Tables* t) {
 
 extern "C" {
 
+static int32_t inflate_core(const uint8_t* data, int64_t size,
+                            int64_t start_bit, const uint8_t* window,
+                            int64_t window_len, uint8_t** out_ptr,
+                            int64_t* out_cap_ptr, int64_t* out_len,
+                            int64_t* end_bit, int32_t* finished);
+
+// Fused one-shot inflate; allocates the output (caller frees via
+// tbz_free). Returns an error code; partial output remains valid.
+int32_t tbz_inflate_alloc(const uint8_t* data, int64_t size,
+                          int64_t start_bit, const uint8_t* window,
+                          int64_t window_len, int64_t size_hint,
+                          uint8_t** out_ptr, int64_t* out_len,
+                          int64_t* end_bit, int32_t* finished) {
+  int64_t cap = size_hint > 0 ? size_hint + 16 : size * 4 + (1 << 16);
+  uint8_t* out = (uint8_t*)malloc(cap);
+  if (!out) return ERR_TAPE_OVERFLOW;
+  int32_t err = inflate_core(data, size, start_bit, window, window_len,
+                             &out, &cap, out_len, end_bit, finished);
+  *out_ptr = out;
+  return err;
+}
+
+void tbz_free(uint8_t* p) { free(p); }
+
 struct TokResult {
   int64_t n_tokens;
   int64_t end_bit;   // bit position of the clean resume point
@@ -504,6 +529,226 @@ int32_t tbz_resolve(const uint8_t* data, int64_t data_size,
     }
   }
   return OK;
+}
+
+// ---- fused inflate --------------------------------------------------------
+// Single-pass decode: symbols materialize bytes immediately (the shape of
+// the reference's hot loop, deflate.lisp:673-702, with word-wide copies in
+// the spirit of %copy-history's specialization, deflate.lisp:244-335).
+// Output buffer grows geometrically (api.lisp:49-65 contract).
+
+static int32_t inflate_core(const uint8_t* data, int64_t size,
+                            int64_t start_bit, const uint8_t* window,
+                            int64_t window_len, uint8_t** out_ptr,
+                            int64_t* out_cap_ptr, int64_t* out_len,
+                            int64_t* end_bit, int32_t* finished) {
+  ensure_fixed();
+  Br br;
+  br.init(data, size, start_bit);
+  Tables dyn;
+  uint8_t* out = *out_ptr;
+  int64_t cap = *out_cap_ptr;
+  int64_t pos = 0;
+  *finished = 0;
+  int32_t err = OK;
+
+  auto ensure = [&](int64_t need) -> bool {
+    if (pos + need + 16 <= cap) return true;
+    int64_t ncap = cap ? cap * 2 : (1 << 20);
+    while (ncap < pos + need + 16) ncap *= 2;
+    uint8_t* nb = (uint8_t*)realloc(out, ncap);
+    if (!nb) return false;
+    out = nb;
+    cap = ncap;
+    return true;
+  };
+
+  for (;;) {
+    int64_t block_start = br.bit_position();
+    uint32_t bfinal, btype;
+    if (!br.get(1, &bfinal) || !br.get(2, &btype)) {
+      err = ERR_TRUNCATED;
+      br.init(data, size, block_start);
+      break;
+    }
+    if (btype == 3) {
+      err = ERR_BAD_BLOCK_TYPE;
+      break;
+    }
+    if (btype == 0) {
+      br.align_byte();
+      uint32_t ln, nlen;
+      if (!br.get(16, &ln) || !br.get(16, &nlen)) {
+        err = ERR_TRUNCATED;
+        br.init(data, size, block_start);
+        break;
+      }
+      if (ln != (~nlen & 0xFFFF)) {
+        err = ERR_STORED_LEN_MISMATCH;
+        break;
+      }
+      if (br.bits_available() < int64_t(ln) * 8) {
+        err = ERR_TRUNCATED;
+        br.init(data, size, block_start);
+        break;
+      }
+      if (!ensure(ln)) {
+        err = ERR_TAPE_OVERFLOW;
+        break;
+      }
+      int64_t off = br.bit_position() >> 3;
+      std::memcpy(out + pos, data + off, ln);
+      pos += ln;
+      br.init(data, size, (off + ln) * 8);
+      if (bfinal) {
+        *finished = 1;
+        break;
+      }
+      continue;
+    }
+    const uint32_t* lit_t;
+    const uint32_t* dist_t;
+    if (btype == 1) {
+      lit_t = g_fixed.lit;
+      dist_t = g_fixed.dist;
+    } else {
+      err = read_dynamic(br, &dyn);
+      if (err) {
+        if (err == ERR_TRUNCATED) br.init(data, size, block_start);
+        goto done;
+      }
+      lit_t = dyn.lit;
+      dist_t = dyn.dist;
+    }
+    // ---- symbol loop with fast path ----
+    for (;;) {
+      // Fast region: enough input buffered for a worst-case token (48
+      // bits) + headroom in out. One fill, no underrun checks.
+      if (br.pos + 8 <= br.n && pos + 300 + 16 <= cap) {
+        br.fill();
+        uint32_t e = lit_t[uint32_t(br.buf) & ((1u << kLitRoot) - 1)];
+        if (e_op(e) == OP_LINK)
+          e = lit_t[e_val(e) +
+                    ((uint32_t(br.buf) >> kLitRoot) &
+                     ((1u << e_extra(e)) - 1))];
+        br.drop(e_nbits(e));
+        uint32_t op = e_op(e);
+        if (op == OP_LITERAL) {
+          out[pos++] = uint8_t(e_val(e));
+          continue;
+        }
+        if (op == OP_END) break;
+        if (op == OP_INVALID) {
+          err = ERR_INVALID_CODE;
+          goto done;
+        }
+        int len = e_val(e) + (uint32_t(br.buf) & ((1u << e_extra(e)) - 1));
+        br.drop(e_extra(e));
+        br.fill();
+        uint32_t de = dist_t[uint32_t(br.buf) & ((1u << kDistRoot) - 1)];
+        if (e_op(de) == OP_LINK)
+          de = dist_t[e_val(de) +
+                      ((uint32_t(br.buf) >> kDistRoot) &
+                       ((1u << e_extra(de)) - 1))];
+        br.drop(e_nbits(de));
+        if (e_op(de) != OP_MATCH) {
+          err = ERR_INVALID_CODE;
+          goto done;
+        }
+        int64_t d = e_val(de) +
+                    (uint32_t(br.buf) & ((1u << e_extra(de)) - 1));
+        br.drop(e_extra(de));
+        int64_t src = pos - d;
+        if (src < 0) {
+          if (src < -window_len) {
+            err = ERR_BAD_DISTANCE;
+            goto done;
+          }
+          int64_t k = 0;
+          while (src + k < 0 && k < len)
+            out[pos + k] = window[window_len + src + k], k++;
+          for (; k < len; k++) out[pos + k] = out[src + k];
+          pos += len;
+        } else if (d >= 8) {
+          // word copies with 16-byte slack headroom
+          int64_t k = 0;
+          do {
+            uint64_t w;
+            std::memcpy(&w, out + src + k, 8);
+            std::memcpy(out + pos + k, &w, 8);
+            k += 8;
+          } while (k < len);
+          pos += len;
+        } else if (d == 1) {
+          std::memset(out + pos, out[src], len);
+          pos += len;
+        } else {
+          for (int64_t k = 0; k < len; k++) out[pos + k] = out[src + k];
+          pos += len;
+        }
+        continue;
+      }
+      // Careful region (near input/output end).
+      int64_t sym_start = br.bit_position();
+      uint32_t op, extra, val;
+      int derr = decode_symbol(br, lit_t, kLitRoot, &op, &extra, &val);
+      if (derr) {
+        err = derr;
+        if (err == ERR_TRUNCATED) br.init(data, size, sym_start);
+        goto done;
+      }
+      if (op == OP_END) break;
+      if (!ensure(300)) {
+        err = ERR_TAPE_OVERFLOW;
+        goto done;
+      }
+      if (op == OP_LITERAL) {
+        out[pos++] = uint8_t(val);
+        continue;
+      }
+      uint32_t ebits = 0;
+      if (extra && !br.get(extra, &ebits)) {
+        err = ERR_TRUNCATED;
+        br.init(data, size, sym_start);
+        goto done;
+      }
+      int len = val + ebits;
+      uint32_t dop, dextra, dval;
+      derr = decode_symbol(br, dist_t, kDistRoot, &dop, &dextra, &dval);
+      if (derr) {
+        err = derr;
+        if (err == ERR_TRUNCATED) br.init(data, size, sym_start);
+        goto done;
+      }
+      uint32_t debits = 0;
+      if (dextra && !br.get(dextra, &debits)) {
+        err = ERR_TRUNCATED;
+        br.init(data, size, sym_start);
+        goto done;
+      }
+      int64_t d = dval + debits;
+      int64_t src = pos - d;
+      if (src < -window_len) {
+        err = ERR_BAD_DISTANCE;
+        goto done;
+      }
+      int64_t k = 0;
+      while (src + k < 0 && k < len)
+        out[pos + k] = window[window_len + src + k], k++;
+      for (; k < len; k++) out[pos + k] = out[src + k];
+      pos += len;
+    }
+    if (bfinal) {
+      *finished = 1;
+      break;
+    }
+  }
+done:
+  *out_ptr = out;
+  *out_cap_ptr = cap;
+  *out_len = pos;
+  *end_bit = br.bit_position();
+  return err;
 }
 
 // ---- LZ77 matcher ---------------------------------------------------------

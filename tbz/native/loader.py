@@ -79,6 +79,15 @@ def _load():
             ctypes.POINTER(ctypes.c_int32), ctypes.c_int64,
             ctypes.c_char_p, ctypes.c_int64,
             ctypes.POINTER(ctypes.c_uint8), ctypes.c_int64]
+        lib.tbz_inflate_alloc.restype = ctypes.c_int32
+        lib.tbz_inflate_alloc.argtypes = [
+            ctypes.c_char_p, ctypes.c_int64, ctypes.c_int64,
+            ctypes.c_char_p, ctypes.c_int64, ctypes.c_int64,
+            ctypes.POINTER(ctypes.POINTER(ctypes.c_uint8)),
+            ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_int64),
+            ctypes.POINTER(ctypes.c_int32)]
+        lib.tbz_free.restype = None
+        lib.tbz_free.argtypes = [ctypes.POINTER(ctypes.c_uint8)]
         lib.tbz_match.restype = ctypes.c_int64
         lib.tbz_match.argtypes = [
             ctypes.c_char_p, ctypes.c_int64, ctypes.c_int32,
@@ -142,10 +151,30 @@ def resolve(tape: TokenTape, data, window: bytes = b"") -> bytes:
     return out.tobytes()
 
 
-def inflate(data, bit_pos: int = 0, window: bytes = b"") -> tuple[bytes, int, bool]:
-    """Full native inflate (tokenize + resolve)."""
-    res = tokenize(data, bit_pos, window_len=len(window))
-    return resolve(res.tape, data, window), res.end_bit, res.finished
+def inflate(data, bit_pos: int = 0, window: bytes = b"",
+            size_hint: int = 0) -> tuple[bytes, int, bool]:
+    """Fused single-pass native inflate (the host fast path)."""
+    lib = _load()
+    data = bytes(data)
+    window = bytes(window)
+    out_ptr = ctypes.POINTER(ctypes.c_uint8)()
+    out_len = ctypes.c_int64()
+    end_bit = ctypes.c_int64()
+    finished = ctypes.c_int32()
+    err = lib.tbz_inflate_alloc(data, len(data), bit_pos, window,
+                                len(window), size_hint,
+                                ctypes.byref(out_ptr),
+                                ctypes.byref(out_len),
+                                ctypes.byref(end_bit),
+                                ctypes.byref(finished))
+    try:
+        if err == ERR_TRUNCATED:
+            raise TruncatedError("input underrun")
+        raise_for_code(err)
+        body = ctypes.string_at(out_ptr, out_len.value)
+    finally:
+        lib.tbz_free(out_ptr)
+    return body, int(end_bit.value), bool(finished.value)
 
 
 def lz77_match(data, level: int = 6):
