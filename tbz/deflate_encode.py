@@ -79,19 +79,41 @@ def _emit_stored(w: BitWriter, chunk: bytes, final: bool) -> None:
             break
 
 
-def deflate_raw(data: bytes, level: int = 6) -> bytes:
-    """Raw DEFLATE stream (RFC 1951) of `data`."""
+def deflate_raw(data: bytes, level: int = 6, *, final: bool = True,
+                writer: BitWriter | None = None) -> bytes:
+    """Raw DEFLATE stream (RFC 1951) of `data`.
+
+    final=False emits non-final blocks followed by an empty stored block
+    (a zlib Z_FULL_FLUSH sync point) so segments concatenate at byte
+    boundaries — the streaming Compressor's chunk primitive.
+    """
     data = bytes(data)
-    w = BitWriter()
+    w = writer or BitWriter()
+
+    def finish():
+        if not final:
+            # sync point: empty non-final stored block, byte-aligns.
+            w.bits(0, 1)
+            w.bits(C.BTYPE_STORED, 2)
+            w.align()
+            w.bits(0, 16)
+            w.bits(0xFFFF, 16)
+        return b"" if writer is not None else w.bytes()
+
     if len(data) == 0:
-        # Static block containing only end-of-block.
-        w.bits(1, 1)
-        w.bits(C.BTYPE_STATIC, 2)
-        w.huff(0, 7)  # symbol 256 in the fixed code
-        return w.bytes()
+        if final:
+            # Static block containing only end-of-block.
+            w.bits(1, 1)
+            w.bits(C.BTYPE_STATIC, 2)
+            w.huff(0, 7)  # symbol 256 in the fixed code
+            return b"" if writer is not None else w.bytes()
+        return finish()
     if level == 0:
-        _emit_stored(w, data, final=True)
-        return w.bytes()
+        if final:
+            _emit_stored(w, data, final=True)
+            return b"" if writer is not None else w.bytes()
+        _emit_stored(w, data, final=False)
+        return finish()
 
     ol, di, li = tokenize_for_encode(data, level)
     n_tok = len(ol)
@@ -99,7 +121,7 @@ def deflate_raw(data: bytes, level: int = 6) -> bytes:
     blocks = range(0, n_tok, BLOCK_TOKENS)
     for bi in blocks:
         bj = min(bi + BLOCK_TOKENS, n_tok)
-        final = bj == n_tok
+        block_final = final and bj == n_tok
         bol, bdi, bli = ol[bi:bj], di[bi:bj], li[bi:bj]
         block_bytes = data[int(byte_pos[bi]):int(byte_pos[bj])]
 
@@ -131,9 +153,9 @@ def deflate_raw(data: bytes, level: int = 6) -> bytes:
         stored_cost = 7 + 35 * n_chunks + 8 * len(block_bytes)
 
         if stored_cost < min(dyn_cost, static_cost):
-            _emit_stored(w, block_bytes, final)
+            _emit_stored(w, block_bytes, block_final)
             continue
-        w.bits(1 if final else 0, 1)
+        w.bits(1 if block_final else 0, 1)
         if static_cost <= dyn_cost:
             w.bits(C.BTYPE_STATIC, 2)
             lit_codes, lit_lens_a = he.codes_from_lengths(_STATIC_LIT_LENS)
@@ -153,7 +175,7 @@ def deflate_raw(data: bytes, level: int = 6) -> bytes:
             dist_codes, dist_lens_a = he.codes_from_lengths(dyn_dist_lens)
         _emit_tokens(w, bol, bdi, bli, lit_codes, lit_lens_a,
                      dist_codes, dist_lens_a)
-    return w.bytes()
+    return finish()
 
 
 def compress(data, format: str = "zlib", level: int = 6,

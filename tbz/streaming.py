@@ -334,3 +334,85 @@ class Decompressor:
     @property
     def needs_input(self) -> bool:
         return not self.eof
+
+
+class Compressor:
+    """Streaming multi-format compressor (the encode mirror of
+    Decompressor; beyond the reference, which has no encoder).
+
+    compress() buffers input and emits completed deflate segments once
+    enough is buffered (each segment ends at a Z_FULL_FLUSH sync point);
+    flush() emits the final block + trailer. Segments are matched
+    independently (no cross-segment back-references), trading a small
+    ratio loss for bounded memory.
+    """
+
+    SEGMENT = 1 << 20
+
+    def __init__(self, format: str = "zlib", level: int = 6,
+                 mtime: int = 0, name: str | None = None):
+        assert format in ("raw", "zlib", "gzip")
+        self.format = format
+        self.level = level
+        self._buf = b""
+        self._started = False
+        self._cksum = 1 if format == "zlib" else 0
+        self._total = 0
+        self._mtime = mtime
+        self._name = name
+        self._done = False
+
+    def _header(self) -> bytes:
+        if self.format == "raw":
+            return b""
+        if self.format == "zlib":
+            cmf = 0x78
+            flevel = (0 if self.level < 2 else 1 if self.level < 6
+                      else 2 if self.level < 8 else 3)
+            flg = flevel << 6
+            rem = ((cmf << 8) | flg) % 31
+            if rem:
+                flg += 31 - rem
+            return bytes([cmf, flg])
+        flg = 0x08 if self._name is not None else 0
+        name_b = (self._name.encode("utf-8") + b"\x00"
+                  if self._name is not None else b"")
+        xfl = 2 if self.level >= 8 else 4 if self.level <= 2 else 0
+        return (b"\x1f\x8b\x08" + bytes([flg])
+                + int(self._mtime).to_bytes(4, "little")
+                + bytes([xfl, 3]) + name_b)
+
+    def _update_cksum(self, piece: bytes) -> None:
+        if self.format == "zlib":
+            self._cksum = _zlib.adler32(piece, self._cksum)
+        elif self.format == "gzip":
+            self._cksum = _zlib.crc32(piece, self._cksum)
+        self._total += len(piece)
+
+    def compress(self, data: bytes) -> bytes:
+        assert not self._done, "compressor already flushed"
+        from . import deflate_encode as de
+        self._buf += bytes(data)
+        out = b"" if self._started else self._header()
+        self._started = True
+        while len(self._buf) >= 2 * self.SEGMENT:
+            seg, self._buf = (self._buf[:self.SEGMENT],
+                              self._buf[self.SEGMENT:])
+            self._update_cksum(seg)
+            out += de.deflate_raw(seg, self.level, final=False)
+        return out
+
+    def flush(self) -> bytes:
+        from . import deflate_encode as de
+        assert not self._done
+        self._done = True
+        out = b"" if self._started else self._header()
+        self._update_cksum(self._buf)
+        out += de.deflate_raw(self._buf, self.level, final=True)
+        self._buf = b""
+        if self.format == "zlib":
+            out += int(self._cksum).to_bytes(4, "big")
+        elif self.format == "gzip":
+            out += int(self._cksum).to_bytes(4, "little")
+            out += (self._total % (1 << 32)).to_bytes(4, "little")
+        return out

@@ -1,0 +1,86 @@
+"""Aux subsystems: debug dumper, config, metrics, streaming Compressor."""
+
+import gzip as _gzip
+import zlib
+
+import pytest
+
+from tbz import api, debug
+from tbz.streaming import Compressor, Decompressor
+from tbz.utils.config import Config
+from tbz.utils.profiling import Metrics
+
+from util import corpus, raw_deflate
+
+
+def test_dump_structure():
+    payload = raw_deflate(corpus(1, 5000), 9)
+    text = debug.dump(payload, out=False)
+    assert "block 0:" in text and "FINAL" in text
+    assert "finished=True" in text
+
+
+def test_dump_tokens():
+    payload = raw_deflate(b"abcabcabc", 9)
+    text = debug.dump(payload, tokens=True, out=False)
+    assert "literal" in text
+    assert "match" in text
+
+
+def test_dump_tree(capsys):
+    from tbz import huffman
+    lit, dist = huffman.fixed_tables()
+    debug.dump_tree(dist, huffman.KIND_DIST)
+    out = capsys.readouterr().out
+    assert "match" in out
+
+
+def test_config_env(monkeypatch):
+    monkeypatch.setenv("TBZ_LEVEL", "9")
+    monkeypatch.setenv("TBZ_BACKEND", "host")
+    c = Config.from_env()
+    assert c.level == 9 and c.backend == "host"
+
+
+def test_metrics():
+    m = Metrics()
+    with m.stage("resolve", 1000):
+        pass
+    assert m.stages["resolve"].calls == 1
+    assert "resolve" in m.report()
+
+
+@pytest.mark.parametrize("fmt", ["raw", "zlib", "gzip"])
+def test_compressor_streaming(fmt):
+    data = corpus(9, 3 << 20)  # 3MB: exercises multi-segment path
+    co = Compressor(fmt, level=6)
+    out = b""
+    for i in range(0, len(data), 123_457):
+        out += co.compress(data[i:i + 123_457])
+    out += co.flush()
+    # decodes via stdlib and via our own streaming decoder
+    if fmt == "zlib":
+        assert zlib.decompress(out) == data
+    elif fmt == "gzip":
+        assert _gzip.decompress(out) == data
+    else:
+        assert zlib.decompressobj(-15).decompress(out) == data
+    d = Decompressor(fmt)
+    got = d.decompress(out) + d.flush()
+    assert got == data
+
+
+def test_compressor_empty():
+    for fmt in ("raw", "zlib", "gzip"):
+        co = Compressor(fmt)
+        out = co.flush()
+        assert api.decompress(out, fmt) == b""
+
+
+def test_compressor_roundtrip_through_api():
+    data = corpus(10, 100000)
+    co = Compressor("gzip", 9, name="stream.bin")
+    payload = co.compress(data) + co.flush()
+    got, info = api.decompress(payload, "gzip", with_info=True)
+    assert got == data
+    assert info.members[0].header.name == "stream.bin"
