@@ -173,3 +173,31 @@ def decompress(data, format: str = "auto", *, backend: str = "auto",
 def compress(data, format: str = "zlib", level: int = 6, **kw):
     from . import deflate_encode
     return deflate_encode.compress(data, format=format, level=level, **kw)
+
+
+def decompress_file(path, format: str = "auto", **kw) -> bytes:
+    """Decompress from an mmap'd file (the reference's octet-pointer
+    path, io-mmap.lisp / with-octet-pointer): the page cache backs the
+    input; the native frontend reads it in place (loader._buf is
+    zero-copy for memoryviews; framing layers copy only small headers)."""
+    from .iosrc import MappedFile
+    with MappedFile(path) as mf:
+        view = mf.view()
+        try:
+            return decompress(view, format, **kw)
+        finally:
+            view.release()
+
+
+def decompress_stream(fileobj, format: str = "auto",
+                      chunk_size: int = 1 << 20, zdict: bytes = b""):
+    """Generator of decompressed chunks from a binary stream (the
+    stream-context role, io.lisp:61-104)."""
+    from .iosrc import iter_stream
+    from .streaming import Decompressor
+    d = Decompressor(format, zdict=zdict)
+    for piece in iter_stream(fileobj, chunk_size):
+        out = d.decompress(piece)
+        if out:
+            yield out
+    d.flush()

@@ -105,20 +105,30 @@ def _i32p(a: np.ndarray):
     return a.ctypes.data_as(ctypes.POINTER(ctypes.c_int32))
 
 
+def _buf(data):
+    """(pointer-compatible object, length, keepalive) without copying
+    bytes-like/ndarray/memoryview input (zero-copy mmap path)."""
+    if isinstance(data, bytes):
+        return data, len(data), data
+    arr = np.frombuffer(data, np.uint8)  # zero-copy view
+    ptr = ctypes.cast(arr.ctypes.data, ctypes.c_char_p)
+    return ptr, arr.size, arr
+
+
 def tokenize(data, bit_pos: int = 0, window_len: int = 0,
              produced_init: int = 0) -> FrontendResult:
     """Native tokenizer; same contract as reference.tokenize_host
     (raises on malformed/truncated input)."""
     lib = _load()
-    data = bytes(data)
+    dptr, dlen, _keep = _buf(data)
     # ~0.5 tokens per compressed byte is typical; x4 retry covers the rest.
-    cap = max(1024, len(data))
+    cap = max(1024, dlen)
     while True:
         out_len = np.empty(cap, np.int32)
         dist = np.empty(cap, np.int32)
         root_val = np.empty(cap, np.int32)
         res = _TokResult()
-        lib.tbz_tokenize(data, len(data), bit_pos, window_len,
+        lib.tbz_tokenize(dptr, dlen, bit_pos, window_len,
                          produced_init, _i32p(out_len), _i32p(dist),
                          _i32p(root_val), cap, ctypes.byref(res))
         if res.err == ERR_TAPE_OVERFLOW:
@@ -137,14 +147,14 @@ def tokenize(data, bit_pos: int = 0, window_len: int = 0,
 def resolve(tape: TokenTape, data, window: bytes = b"") -> bytes:
     """Native host resolver (oracle/bench peer of ops/resolve.py)."""
     lib = _load()
-    data = bytes(data)
+    dptr, dlen, _keep = _buf(data)
     window = bytes(window)
     out = np.empty(tape.total_out, np.uint8)
     ol = np.ascontiguousarray(tape.out_len, np.int32)
     di = np.ascontiguousarray(tape.dist, np.int32)
     rv = np.ascontiguousarray(tape.root_val, np.int32)
     err = lib.tbz_resolve(
-        data, len(data), _i32p(ol), _i32p(di), _i32p(rv), len(ol),
+        dptr, dlen, _i32p(ol), _i32p(di), _i32p(rv), len(ol),
         window, len(window),
         out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), len(out))
     raise_for_code(err)
@@ -155,13 +165,13 @@ def inflate(data, bit_pos: int = 0, window: bytes = b"",
             size_hint: int = 0) -> tuple[bytes, int, bool]:
     """Fused single-pass native inflate (the host fast path)."""
     lib = _load()
-    data = bytes(data)
+    dptr, dlen, _keep = _buf(data)
     window = bytes(window)
     out_ptr = ctypes.POINTER(ctypes.c_uint8)()
     out_len = ctypes.c_int64()
     end_bit = ctypes.c_int64()
     finished = ctypes.c_int32()
-    err = lib.tbz_inflate_alloc(data, len(data), bit_pos, window,
+    err = lib.tbz_inflate_alloc(dptr, dlen, bit_pos, window,
                                 len(window), size_hint,
                                 ctypes.byref(out_ptr),
                                 ctypes.byref(out_len),

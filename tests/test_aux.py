@@ -77,6 +77,22 @@ def test_compressor_empty():
         assert api.decompress(out, fmt) == b""
 
 
+def test_decompress_file_mmap(tmp_path):
+    data = corpus(11, 200000)
+    p = tmp_path / "x.gz"
+    p.write_bytes(_gzip.compress(data, 9))
+    assert api.decompress_file(str(p)) == data
+
+
+def test_decompress_stream(tmp_path):
+    import io
+    data = corpus(12, 300000)
+    payload = zlib.compress(data, 9)
+    chunks = list(api.decompress_stream(io.BytesIO(payload),
+                                        chunk_size=1000))
+    assert b"".join(chunks) == data
+
+
 def test_compressor_roundtrip_through_api():
     data = corpus(10, 100000)
     co = Compressor("gzip", 9, name="stream.bin")
