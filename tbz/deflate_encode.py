@@ -44,6 +44,23 @@ def _block_symbol_cost(lit_freqs, lit_lens, dist_freqs, dist_lens,
 
 def _emit_tokens(w: BitWriter, ol, di, li, lit_codes, lit_lens,
                  dist_codes, dist_lens) -> None:
+    try:
+        from .native import loader
+        native_ok = loader.available()
+    except ImportError:
+        native_ok = False
+    if native_ok:
+        # Pre-reverse codes (vectorized); C++ packs LSB-first.
+        nz_l = np.maximum(lit_lens, 1)
+        lcr = C.bit_reverse_array(lit_codes.astype(np.int64), nz_l)
+        nz_d = np.maximum(dist_lens[:30], 1)
+        dcr = C.bit_reverse_array(dist_codes[:30].astype(np.int64), nz_d)
+        packed, fb, fn = loader.pack_tokens(
+            ol, di, li, lcr, lit_lens, dcr, dist_lens[:30], True,
+            w.buf, w.nbits)
+        w.out += packed
+        w.buf, w.nbits = fb, fn
+        return
     lsym, leb, lev = lz77.length_to_symbol(ol)
     dsym, deb, dev = lz77.dist_to_symbol(np.maximum(di, 1))
     for i in range(len(ol)):
@@ -125,15 +142,13 @@ def deflate_raw(data: bytes, level: int = 6, *, final: bool = True,
         bol, bdi, bli = ol[bi:bj], di[bi:bj], li[bi:bj]
         block_bytes = data[int(byte_pos[bi]):int(byte_pos[bj])]
 
-        # Histogram.
-        lit_freqs = np.zeros(288, dtype=np.int64)
-        dist_freqs = np.zeros(30, dtype=np.int64)
+        # Histogram (bincount: vectorized C).
         is_lit = bdi == 0
-        np.add.at(lit_freqs, bli[is_lit], 1)
         lsym, leb, _ = lz77.length_to_symbol(bol[~is_lit])
         dsym, deb, _ = lz77.dist_to_symbol(bdi[~is_lit])
-        np.add.at(lit_freqs, lsym, 1)
-        np.add.at(dist_freqs, dsym, 1)
+        lit_freqs = (np.bincount(bli[is_lit], minlength=288)
+                     + np.bincount(lsym, minlength=288)).astype(np.int64)
+        dist_freqs = np.bincount(dsym, minlength=30).astype(np.int64)
         lit_freqs[256] += 1
         len_extra_total = int(np.sum(leb))
         dist_extra_total = int(np.sum(deb))
@@ -178,11 +193,34 @@ def deflate_raw(data: bytes, level: int = 6, *, final: bool = True,
     return finish()
 
 
-def compress(data, format: str = "zlib", level: int = 6,
-             mtime: int = 0, name: str | None = None) -> bytes:
-    """Compress to raw / zlib / gzip framing."""
+def deflate_raw_parallel(data: bytes, level: int = 6,
+                         threads: int = 4,
+                         segment: int = 1 << 20) -> bytes:
+    """Segment-parallel deflate: independent segments joined at
+    sync-flush points (no cross-segment references — a small ratio cost
+    for near-linear thread scaling; the dp axis of encode)."""
     data = bytes(data)
-    body = deflate_raw(data, level)
+    if len(data) <= segment:
+        return deflate_raw(data, level)
+    import concurrent.futures
+    segs = [data[i:i + segment] for i in range(0, len(data), segment)]
+    with concurrent.futures.ThreadPoolExecutor(threads) as ex:
+        parts = list(ex.map(
+            lambda a: deflate_raw(a[1], level, final=(a[0] == len(segs) - 1)),
+            enumerate(segs)))
+    return b"".join(parts)
+
+
+def compress(data, format: str = "zlib", level: int = 6,
+             mtime: int = 0, name: str | None = None,
+             threads: int | None = None) -> bytes:
+    """Compress to raw / zlib / gzip framing. threads>1 enables
+    segment-parallel encoding for large inputs."""
+    data = bytes(data)
+    if threads and threads > 1 and len(data) > (1 << 21):
+        body = deflate_raw_parallel(data, level, threads)
+    else:
+        body = deflate_raw(data, level)
     if format == "raw":
         return body
     if format == "zlib":

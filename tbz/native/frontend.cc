@@ -343,6 +343,76 @@ int32_t tbz_inflate_alloc(const uint8_t* data, int64_t size,
 
 void tbz_free(uint8_t* p) { free(p); }
 
+// ---- block emission -------------------------------------------------------
+// Pack a token range with the given codebooks (codes pre-bit-reversed by
+// the caller, LSB-first shift-in). Carries bit-writer state so Python
+// header emission interleaves. Returns bytes written, or -1 on overflow.
+int64_t tbz_pack(const int32_t* out_len, const int32_t* dist,
+                 const int32_t* lit, int64_t n_tok,
+                 const uint32_t* lit_codes_rev, const uint8_t* lit_lens,
+                 const uint32_t* dist_codes_rev, const uint8_t* dist_lens,
+                 int32_t emit_eob, uint64_t init_bits, int32_t init_nbits,
+                 uint8_t* out, int64_t out_cap, uint64_t* final_bits,
+                 int32_t* final_nbits) {
+  // length -> symbol index tables (built once)
+  static uint8_t len_sym[259];   // match length 3..258 -> 0..28
+  static uint8_t dist_sym_small[513];  // dist 1..512
+  static bool ready = false;
+  if (!ready) {
+    for (int s = 28; s >= 0; s--)
+      for (int l = kLenBase[s]; l <= 258 && (s == 28 || l < kLenBase[s + 1]);
+           l++)
+        len_sym[l] = s;
+    len_sym[258] = 28;
+    for (int s = 29; s >= 0; s--)
+      for (int d = kDistBase[s]; d <= 512 &&
+           (s == 29 || d < kDistBase[s + 1]); d++)
+        dist_sym_small[d] = s;
+    ready = true;
+  }
+  auto dist_sym = [&](int32_t d) -> int {
+    if (d <= 512) return dist_sym_small[d];
+    int s = 29;
+    while (kDistBase[s] > d) s--;
+    return s;
+  };
+
+  uint64_t buf = init_bits;
+  int nbits = init_nbits;
+  int64_t pos = 0;
+  auto put = [&](uint32_t v, int n) {
+    buf |= uint64_t(v) << nbits;
+    nbits += n;
+    while (nbits >= 8) {
+      out[pos++] = uint8_t(buf);
+      buf >>= 8;
+      nbits -= 8;
+    }
+  };
+  if (out_cap < n_tok * 6 + 64) return -1;  // worst case ~48 bits/token
+  for (int64_t i = 0; i < n_tok; i++) {
+    int32_t d = dist[i];
+    if (d == 0) {
+      int s = lit[i];
+      put(lit_codes_rev[s], lit_lens[s]);
+    } else {
+      int l = out_len[i];
+      int s = 257 + len_sym[l];
+      put(lit_codes_rev[s], lit_lens[s]);
+      int eb = kLenExtra[s - 257];
+      if (eb) put(uint32_t(l - kLenBase[s - 257]), eb);
+      int ds = dist_sym(d);
+      put(dist_codes_rev[ds], dist_lens[ds]);
+      int deb = kDistExtra[ds];
+      if (deb) put(uint32_t(d - kDistBase[ds]), deb);
+    }
+  }
+  if (emit_eob) put(lit_codes_rev[256], lit_lens[256]);
+  *final_bits = buf;
+  *final_nbits = nbits;
+  return pos;
+}
+
 struct TokResult {
   int64_t n_tokens;
   int64_t end_bit;   // bit position of the clean resume point

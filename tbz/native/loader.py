@@ -88,6 +88,15 @@ def _load():
             ctypes.POINTER(ctypes.c_int32)]
         lib.tbz_free.restype = None
         lib.tbz_free.argtypes = [ctypes.POINTER(ctypes.c_uint8)]
+        lib.tbz_pack.restype = ctypes.c_int64
+        lib.tbz_pack.argtypes = [
+            ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int32),
+            ctypes.POINTER(ctypes.c_int32), ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_uint32), ctypes.c_char_p,
+            ctypes.POINTER(ctypes.c_uint32), ctypes.c_char_p,
+            ctypes.c_int32, ctypes.c_uint64, ctypes.c_int32,
+            ctypes.POINTER(ctypes.c_uint8), ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_uint64), ctypes.POINTER(ctypes.c_int32)]
         lib.tbz_match.restype = ctypes.c_int64
         lib.tbz_match.argtypes = [
             ctypes.c_char_p, ctypes.c_int64, ctypes.c_int32,
@@ -185,6 +194,35 @@ def inflate(data, bit_pos: int = 0, window: bytes = b"",
     finally:
         lib.tbz_free(out_ptr)
     return body, int(end_bit.value), bool(finished.value)
+
+
+def pack_tokens(out_len, dist, lit, lit_codes_rev, lit_lens,
+                dist_codes_rev, dist_lens, emit_eob: bool,
+                init_bits: int, init_nbits: int):
+    """Pack a token range with given (bit-reversed) codebooks.
+    Returns (packed_bytes, final_bits, final_nbits)."""
+    lib = _load()
+    n = len(out_len)
+    ol = np.ascontiguousarray(out_len, np.int32)
+    di = np.ascontiguousarray(dist, np.int32)
+    li = np.ascontiguousarray(lit, np.int32)
+    lcr = np.ascontiguousarray(lit_codes_rev, np.uint32)
+    dcr = np.ascontiguousarray(dist_codes_rev, np.uint32)
+    ll = np.ascontiguousarray(lit_lens, np.uint8).tobytes()
+    dl = np.ascontiguousarray(dist_lens, np.uint8).tobytes()
+    cap = n * 6 + 64
+    out = np.empty(cap, np.uint8)
+    fb = ctypes.c_uint64()
+    fn = ctypes.c_int32()
+    wrote = lib.tbz_pack(
+        _i32p(ol), _i32p(di), _i32p(li), n,
+        lcr.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)), ll,
+        dcr.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)), dl,
+        1 if emit_eob else 0, init_bits, init_nbits,
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), cap,
+        ctypes.byref(fb), ctypes.byref(fn))
+    assert wrote >= 0
+    return out[:wrote].tobytes(), int(fb.value), int(fn.value)
 
 
 def lz77_match(data, level: int = 6):
