@@ -95,3 +95,12 @@ def test_single_device_mesh_paths():
     arr = np.zeros(N, np.uint8)
     arr[:3000] = np.frombuffer(data[:3000], np.uint8)
     assert int(fn(arr, np.uint32(3000))) == zlib.crc32(data[:3000])
+
+
+def test_assign_members_balanced():
+    from tbz.parallel.distributed import assign_members
+    sizes = [100, 1, 99, 50, 50, 2]
+    groups = assign_members(sizes, 3)
+    loads = sorted(sum(sizes[i] for i in g) for g in groups)
+    assert loads[-1] - loads[0] <= 100  # LPT bound
+    assert sorted(i for g in groups for i in g) == list(range(6))
