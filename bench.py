@@ -182,6 +182,21 @@ def main():
         f"({size / t_libz / 1e9:.2f} GB/s)")
 
     if not args.host_only:
+        # Pre-flight: skip device probes entirely if the device is wedged
+        # (a stuck queue would otherwise burn the full watchdog twice).
+        def tiny():
+            import jax
+            import jax.numpy as jnp
+            return int(jax.jit(lambda a: jnp.sum(a))(jnp.arange(8)))
+
+        ex = concurrent.futures.ThreadPoolExecutor(1)
+        try:
+            ex.submit(tiny).result(timeout=150)
+        except Exception:  # noqa: BLE001
+            log("[bench] device pre-flight failed; skipping device probes")
+            args.host_only = True
+
+    if not args.host_only:
         # Device CRC-32 kernel (MXU bit-matmul): measure at two sizes and
         # report the compute slope — in this harness the TPU sits behind a
         # ~50 MB/s stdio tunnel, so absolute device-call times are

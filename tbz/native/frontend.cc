@@ -693,20 +693,25 @@ static int32_t inflate_core(const uint8_t* data, int64_t size,
     // ---- symbol loop with fast path ----
     for (;;) {
       // Fast region: enough input buffered for a worst-case token (48
-      // bits) + headroom in out. One fill, no underrun checks.
+      // bits) + headroom in out. Fill before each code; literals burst
+      // while >=48 bits remain (a full worst-case token's budget).
       if (br.pos + 8 <= br.n && pos + 300 + 16 <= cap) {
         br.fill();
-        uint32_t e = lit_t[uint32_t(br.buf) & ((1u << kLitRoot) - 1)];
-        if (e_op(e) == OP_LINK)
-          e = lit_t[e_val(e) +
-                    ((uint32_t(br.buf) >> kLitRoot) &
-                     ((1u << e_extra(e)) - 1))];
+        uint32_t e;
+        for (;;) {
+          e = lit_t[uint32_t(br.buf) & ((1u << kLitRoot) - 1)];
+          if (e_op(e) == OP_LINK)
+            e = lit_t[e_val(e) +
+                      ((uint32_t(br.buf) >> kLitRoot) &
+                       ((1u << e_extra(e)) - 1))];
+          if (e_op(e) != OP_LITERAL) break;
+          br.drop(e_nbits(e));
+          out[pos++] = uint8_t(e_val(e));
+          if (br.nbits < 48 || pos + 300 + 16 > cap) break;
+        }
+        if (e_op(e) == OP_LITERAL) continue;  // burst ended on bits/space
         br.drop(e_nbits(e));
         uint32_t op = e_op(e);
-        if (op == OP_LITERAL) {
-          out[pos++] = uint8_t(e_val(e));
-          continue;
-        }
         if (op == OP_END) break;
         if (op == OP_INVALID) {
           err = ERR_INVALID_CODE;
