@@ -230,13 +230,18 @@ def tokenize_device_impl(data32: jnp.ndarray, total_bits: jnp.ndarray,
             have = pos + 32 + ln * 8 <= total_bits
             s["bit_pos"] = pos + 32
             s["stored_len"] = ln
+            # Order matters (zlib parity): header-truncation, then
+            # LEN/NLEN validity, THEN payload availability.
             s["mode"] = jnp.where(
-                ~ok2 | ~have, jnp.int32(M_ERR),
-                jnp.where(good, jnp.int32(M_STORED), jnp.int32(M_ERR)))
+                ~ok2, jnp.int32(M_ERR),
+                jnp.where(~good, jnp.int32(M_ERR),
+                          jnp.where(~have, jnp.int32(M_ERR),
+                                    jnp.int32(M_STORED))))
             s["err"] = jnp.where(
-                ~ok2 | ~have, jnp.int32(E.ERR_TRUNCATED),
-                jnp.where(good, s["err"],
-                          jnp.int32(E.ERR_STORED_LEN_MISMATCH)))
+                ~ok2, jnp.int32(E.ERR_TRUNCATED),
+                jnp.where(~good, jnp.int32(E.ERR_STORED_LEN_MISMATCH),
+                          jnp.where(~have, jnp.int32(E.ERR_TRUNCATED),
+                                    s["err"])))
             return s
 
         def static_case(s):

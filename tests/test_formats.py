@@ -1,0 +1,110 @@
+"""Framing-layer unit tests (zlib.lisp:14-37 / gzip.lisp:110-286 parity
+checks at the header/trailer level)."""
+
+import zlib
+
+import pytest
+
+from tbz.errors import ChecksumError, DeflateError, TruncatedError
+from tbz.formats import gzip_fmt, zlib_fmt
+
+
+def test_zlib_header_valid():
+    h = zlib_fmt.parse_header(zlib.compress(b"x", 9))
+    assert h.cm == 8 and h.cinfo <= 7 and not h.fdict
+    assert h.data_offset == 2
+
+
+def test_zlib_header_cm_rejected():
+    # CM=7; fix the check bits so only CM fails
+    for cmf in (0x77, 0x79):
+        flg = (31 - ((cmf << 8) % 31)) % 31
+        with pytest.raises(DeflateError):
+            zlib_fmt.parse_header(bytes([cmf, flg]))
+
+
+def test_zlib_header_cinfo_rejected():
+    cmf = 0x88  # CINFO=8 > 7
+    flg = (31 - ((cmf << 8) % 31)) % 31
+    with pytest.raises(DeflateError):
+        zlib_fmt.parse_header(bytes([cmf, flg]))
+
+
+def test_zlib_header_check_bits():
+    with pytest.raises(DeflateError):
+        zlib_fmt.parse_header(b"\x78\x00")  # 0x7800 % 31 != 0
+
+
+def test_zlib_header_truncated():
+    with pytest.raises(TruncatedError):
+        zlib_fmt.parse_header(b"\x78")
+
+
+def test_zlib_fdict_requires_dict():
+    zdict = b"hello dictionary"
+    co = zlib.compressobj(9, zlib.DEFLATED, 15, zdict=zdict)
+    payload = co.compress(b"data") + co.flush()
+    with pytest.raises(DeflateError):
+        zlib_fmt.parse_header(payload)
+    h = zlib_fmt.parse_header(payload, zdict)
+    assert h.fdict and h.dictid == zlib.adler32(zdict)
+    assert h.data_offset == 6
+
+
+def test_gzip_header_minimal():
+    import gzip as g
+    h = gzip_fmt.parse_header(g.compress(b"x"))
+    assert h.data_offset == 10
+    assert h.os in gzip_fmt.OS_NAMES or h.os_name == "unknown"
+
+
+def test_gzip_bad_magic():
+    with pytest.raises(DeflateError):
+        gzip_fmt.parse_header(b"\x1f\x8c" + b"\x00" * 10)
+
+
+def test_gzip_bad_cm():
+    with pytest.raises(DeflateError):
+        gzip_fmt.parse_header(b"\x1f\x8b\x07" + b"\x00" * 8)
+
+
+def test_gzip_all_optional_fields():
+    hdr = bytearray(b"\x1f\x8b\x08\x1e")       # FHCRC|FEXTRA|FNAME|FCOMMENT
+    hdr += (1234).to_bytes(4, "little")        # MTIME
+    hdr += b"\x02\x03"                         # XFL, OS
+    hdr += (4).to_bytes(2, "little") + b"EXTR"  # FEXTRA
+    hdr += "nämé.txt".encode("utf-8") + b"\x00"
+    hdr += b"a comment\x00"
+    crc16 = zlib.crc32(bytes(hdr)) & 0xFFFF
+    hdr += crc16.to_bytes(2, "little")
+    h = gzip_fmt.parse_header(bytes(hdr))
+    assert h.extra == b"EXTR"
+    assert h.name == "nämé.txt"
+    assert h.comment == "a comment"
+    assert h.header_crc_ok is True
+    assert h.mtime == 1234
+    assert h.data_offset == len(hdr)
+
+
+def test_gzip_latin1_fallback_name():
+    hdr = bytearray(b"\x1f\x8b\x08\x08" + b"\x00" * 6)
+    hdr += bytes([0xE9]) + b".txt\x00"  # latin-1 e-acute, invalid UTF-8
+    h = gzip_fmt.parse_header(bytes(hdr))
+    assert h.name == "é.txt"
+
+
+def test_gzip_unterminated_name():
+    hdr = b"\x1f\x8b\x08\x08" + b"\x00" * 6 + b"noterm"
+    with pytest.raises(TruncatedError):
+        gzip_fmt.parse_header(hdr)
+
+
+def test_trailer_checks():
+    with pytest.raises(ChecksumError):
+        gzip_fmt.check_trailer(1, 2, 0, 0)
+    with pytest.raises(ChecksumError):
+        gzip_fmt.check_trailer(1, 1, 5, 6)
+    gzip_fmt.check_trailer(1, 1, 5, 5)
+    gzip_fmt.check_trailer(1, 1, (1 << 32) + 5 & 0xFFFFFFFF, (1 << 32) + 5)
+    with pytest.raises(ChecksumError):
+        zlib_fmt.check_adler(1, 2)
