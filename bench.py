@@ -41,6 +41,22 @@ def log(*a):
     print(*a, file=sys.stderr, flush=True)
 
 
+_cache_enabled = False
+
+
+def _enable_compile_cache(jax):
+    """Persistent XLA compile cache (needs explicit config on this
+    backend; the env var alone does not engage it)."""
+    global _cache_enabled
+    if _cache_enabled:
+        return
+    _cache_enabled = True
+    jax.config.update("jax_compilation_cache_dir",
+                      os.environ["JAX_COMPILATION_CACHE_DIR"])
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0)
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+
+
 def make_corpus(size: int, seed: int = 20260816) -> bytes:
     """Deterministic Silesia-like mix: text, structured binary, random,
     and highly-repetitive segments."""
@@ -108,7 +124,7 @@ def bench_device_verify(out: bytes, iters: int, timeout_s: float = 120.0):
 
     def run():
         import jax
-        import jax.numpy as jnp
+        _enable_compile_cache(jax)
         from tbz import checksums as cs
         n = len(out)
         N = 1 << max(12, (n - 1).bit_length())  # pow2: stable compile shapes
@@ -186,12 +202,13 @@ def main():
         # (a stuck queue would otherwise burn the full watchdog twice).
         def tiny():
             import jax
+            _enable_compile_cache(jax)
             import jax.numpy as jnp
             return int(jax.jit(lambda a: jnp.sum(a))(jnp.arange(8)))
 
         ex = concurrent.futures.ThreadPoolExecutor(1)
         try:
-            ex.submit(tiny).result(timeout=150)
+            ex.submit(tiny).result(timeout=300)
         except Exception:  # noqa: BLE001
             log("[bench] device pre-flight failed; skipping device probes")
             args.host_only = True
