@@ -421,13 +421,25 @@ struct TokResult {
   int32_t err;
 };
 
+// Block-granular variant: on input underrun, rolls back to the start of
+// the incomplete block (tokens and bit position), so a stateless caller
+// can resume by re-feeding from end_bit with more input appended — the
+// block-granular streaming protocol (SURVEY §7 M4). err is OK in that
+// case; `finished` distinguishes stream end.
+int32_t tbz_tokenize_blocks(const uint8_t* data, int64_t size,
+                            int64_t start_bit, int64_t window_len,
+                            int64_t produced_init, int32_t* out_len,
+                            int32_t* dist, int32_t* root_val, int64_t cap,
+                            TokResult* res);
+
 // Tokenize a raw-deflate stream into the tape convention of ../tape.py.
 // produced_init/window_len feed distance validation for streaming resume.
 // On ERR_TAPE_OVERFLOW the caller retries with a larger cap.
-int32_t tbz_tokenize(const uint8_t* data, int64_t size, int64_t start_bit,
-                     int64_t window_len, int64_t produced_init,
-                     int32_t* out_len, int32_t* dist, int32_t* root_val,
-                     int64_t cap, TokResult* res) {
+static int32_t tokenize_impl(const uint8_t* data, int64_t size,
+                             int64_t start_bit, int64_t window_len,
+                             int64_t produced_init, int32_t* out_len,
+                             int32_t* dist, int32_t* root_val, int64_t cap,
+                             int block_granular, TokResult* res) {
   ensure_fixed();
   Br br;
   br.init(data, size, start_bit);
@@ -436,9 +448,13 @@ int32_t tbz_tokenize(const uint8_t* data, int64_t size, int64_t start_bit,
   int64_t produced = produced_init;
   res->finished = 0;
   res->err = OK;
+  int64_t blk_bit = start_bit, blk_nt = 0, blk_prod = produced_init;
 
   for (;;) {
     int64_t block_start = br.bit_position();
+    blk_bit = block_start;
+    blk_nt = nt;
+    blk_prod = produced;
     uint32_t bfinal, btype;
     if (!br.get(1, &bfinal) || !br.get(2, &btype)) {
       res->err = ERR_TRUNCATED;
@@ -563,10 +579,34 @@ int32_t tbz_tokenize(const uint8_t* data, int64_t size, int64_t start_bit,
     }
   }
 done:
+  if (block_granular && res->err == ERR_TRUNCATED) {
+    // Roll back the incomplete block; caller resumes from end_bit.
+    nt = blk_nt;
+    produced = blk_prod;
+    br.init(data, size, blk_bit);
+    res->err = OK;
+  }
   res->n_tokens = nt;
   res->end_bit = br.bit_position();
   res->total_out = produced - produced_init;
   return res->err;
+}
+
+int32_t tbz_tokenize(const uint8_t* data, int64_t size, int64_t start_bit,
+                     int64_t window_len, int64_t produced_init,
+                     int32_t* out_len, int32_t* dist, int32_t* root_val,
+                     int64_t cap, TokResult* res) {
+  return tokenize_impl(data, size, start_bit, window_len, produced_init,
+                       out_len, dist, root_val, cap, 0, res);
+}
+
+int32_t tbz_tokenize_blocks(const uint8_t* data, int64_t size,
+                            int64_t start_bit, int64_t window_len,
+                            int64_t produced_init, int32_t* out_len,
+                            int32_t* dist, int32_t* root_val, int64_t cap,
+                            TokResult* res) {
+  return tokenize_impl(data, size, start_bit, window_len, produced_init,
+                       out_len, dist, root_val, cap, 1, res);
 }
 
 // Resolve a token tape to bytes on the host (oracle/bench path).

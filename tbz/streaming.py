@@ -172,6 +172,53 @@ class IncrementalInflater:
             setattr(self, k, v)
 
 
+class _NativeInflater:
+    """Block-granular incremental tokenizer over the C++ frontend — the
+    same interface as IncrementalInflater, resuming at block boundaries
+    (rolled back by tbz_tokenize_blocks) instead of token boundaries.
+    ~100x the Python inflater's throughput for streaming decode."""
+
+    def __init__(self, window_len: int = 0):
+        from .native import loader
+        self._loader = loader
+        self.window_len = window_len
+        self.buf = b""
+        self.bit_pos = 0
+        self.produced = 0
+        self.finished = False
+        self._end_bit = 0
+
+    def feed(self, data: bytes):
+        self.buf += data
+        src = self.buf
+        res = self._loader.tokenize_blocks(
+            src, self.bit_pos, self.window_len, self.produced)
+        self.produced += res.tape.total_out
+        self.finished = res.finished
+        self._end_bit = res.end_bit
+        return res.tape, src
+
+    def trim(self):
+        drop = self._end_bit >> 3
+        if drop:
+            self.buf = self.buf[drop:]
+        self.bit_pos = self._end_bit - (drop << 3)
+
+    def trailing_bytes(self) -> bytes:
+        assert self.finished
+        return self.buf[(self.bit_pos + 7) // 8:]
+
+
+def _make_inflater(window_len: int):
+    try:
+        from .native import loader
+        if loader.available():
+            return _NativeInflater(window_len)
+    except ImportError:
+        pass
+    return IncrementalInflater(window_len)
+
+
 class Decompressor:
     """Streaming multi-format decompressor.
 
@@ -211,7 +258,7 @@ class Decompressor:
 
     def _start_body(self, fmt: str, body_prefix: bytes):
         self.window = self.zdict[-C.MAX_WINDOW:] if fmt != "gzip" else b""
-        self._inflater = IncrementalInflater(window_len=len(self.window))
+        self._inflater = _make_inflater(len(self.window))
         self._cksum = 0 if fmt in ("gzip", "raw") else 1
         self._member_out = 0
         self.state = self.S_BODY
@@ -221,7 +268,11 @@ class Decompressor:
         """Feed the inflater, resolve new tokens against the window."""
         tape, src = self._inflater.feed(data)
         if len(tape):
-            out = reference.resolve_host(tape, src, self.window)
+            if isinstance(self._inflater, _NativeInflater):
+                from .native import loader
+                out = loader.resolve(tape, src, self.window)
+            else:
+                out = reference.resolve_host(tape, src, self.window)
         else:
             out = b""
         self._inflater.trim()

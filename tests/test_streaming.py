@@ -167,3 +167,25 @@ def test_state_checkpoint_resume():
     tape2, src2 = inf2.feed(payload[4000:])
     out2 = reference.resolve_host(tape2, src2, window=out1[-32768:])
     assert out1 + out2 == DATA
+
+
+def test_python_inflater_fuzz():
+    """The pure-Python token-granular inflater stays correct (it is the
+    fallback when the native build is unavailable)."""
+    from tbz import reference
+    payload = zlib.compress(DATA[:100000], 9)[2:-4]
+    rng = random.Random(55)
+    for _ in range(5):
+        inf = IncrementalInflater()
+        out = b""
+        window = b""
+        pos = 0
+        while pos < len(payload):
+            n = rng.randint(1, 3000)
+            tape, src = inf.feed(payload[pos:pos + n])
+            pos += n
+            piece = reference.resolve_host(tape, src, window)
+            inf.trim()
+            out += piece
+            window = (window + piece)[-32768:]
+        assert inf.finished and out == DATA[:100000]
