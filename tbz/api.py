@@ -52,23 +52,32 @@ def detect_format(data: bytes) -> str:
     return "raw"
 
 
-def _resolve(res: FrontendResult, data: bytes, window: bytes,
-             backend: str):
-    """Returns (output_bytes, device_buffer_or_None, capacity)."""
+def _decode_body(body: bytes, window: bytes, backend: str,
+                 size_hint: int = 0):
+    """One member's deflate body -> (out, end_bit, finished, body_dev).
+
+    Host path uses the fused single-pass native inflate; device path
+    tokenizes then resolves on the accelerator. Raises TruncatedError on
+    underrun (one-shot semantics)."""
     if backend in ("host", "auto"):
         try:
             from .native import loader
             if loader.available():
-                return loader.resolve(res.tape, data, window), None, 0
+                out, end_bit, fin = loader.inflate(
+                    body, window=window, size_hint=size_hint)
+                return out, end_bit, fin, None
         except ImportError:
             pass
         from . import reference
-        return reference.resolve_host(res.tape, data, window), None, 0
+        res = reference.tokenize_host(body, 0, window_len=len(window))
+        out = reference.resolve_host(res.tape, body, window)
+        return out, res.end_bit, res.finished, None
+    res = _frontend.tokenize(body, 0, window_len=len(window))
     from .ops import resolve as _r
-    out_dev, total = _r.resolve_device(res.tape, data, window)
-    cap = out_dev.shape[0] - _r.W
-    body = out_dev[_r.W:]
-    return bytes(np.asarray(body[:total])), body, cap
+    out_dev, total = _r.resolve_device(res.tape, body, window)
+    dev_body = out_dev[_r.W:]
+    return (bytes(np.asarray(dev_body[:total])), res.end_bit,
+            res.finished, dev_body)
 
 
 def _verify_device_or_host(kind: str, body_dev, out: bytes, prev: int):
@@ -81,14 +90,6 @@ def _verify_device_or_host(kind: str, body_dev, out: bytes, prev: int):
     if kind == "crc32":
         return _zlib.crc32(out, prev)
     return _zlib.adler32(out, prev)
-
-
-def _inflate_raw(data: bytes, window: bytes, backend: str):
-    res = _frontend.tokenize(data, 0, window_len=len(window))
-    if not res.finished:
-        raise TruncatedError("deflate stream has no final block")
-    out, body_dev, _ = _resolve(res, data, window, backend)
-    return out, res, body_dev
 
 
 def decompress(data, format: str = "auto", *, backend: str = "auto",
@@ -108,25 +109,25 @@ def decompress(data, format: str = "auto", *, backend: str = "auto",
     pos = 0
 
     if fmt == "raw":
-        res = _frontend.tokenize(data, 0, window_len=0)
-        if not res.finished:
+        out, end_bit, finished, _ = _decode_body(
+            data, b"", backend, output_size or 0)
+        if not finished:
             raise TruncatedError("deflate stream has no final block")
-        if output_size is not None and res.tape.total_out != output_size:
+        if output_size is not None and len(out) != output_size:
             raise DeflateError(
-                f"output size {res.tape.total_out} != declared {output_size}")
-        out, _, _ = _resolve(res, data, b"", backend)
-        consumed = (res.end_bit + 7) // 8
+                f"output size {len(out)} != declared {output_size}")
+        consumed = (end_bit + 7) // 8
         members.append(MemberInfo("raw", None, len(out), consumed))
         parts.append(out)
         pos = consumed
     elif fmt == "zlib":
         hdr = zlib_fmt.parse_header(data, zdict)
         body = data[hdr.data_offset:]
-        res = _frontend.tokenize(body, 0, window_len=len(zdict))
-        if not res.finished:
+        out, end_bit, finished, body_dev = _decode_body(
+            body, zdict, backend, output_size or 0)
+        if not finished:
             raise TruncatedError("zlib deflate body truncated")
-        out, body_dev, _ = _resolve(res, body, zdict, backend)
-        end = hdr.data_offset + (res.end_bit + 7) // 8
+        end = hdr.data_offset + (end_bit + 7) // 8
         stored = zlib_fmt.read_trailer(data, end)
         if verify:
             # RFC 1950: the Adler covers the uncompressed data only — a
@@ -140,11 +141,11 @@ def decompress(data, format: str = "auto", *, backend: str = "auto",
         while True:
             hdr = gzip_fmt.parse_header(data, pos)
             body = data[hdr.data_offset:]
-            res = _frontend.tokenize(body, 0, window_len=0)
-            if not res.finished:
+            out, end_bit, finished, body_dev = _decode_body(
+                body, b"", backend)
+            if not finished:
                 raise TruncatedError("gzip deflate body truncated")
-            out, body_dev, _ = _resolve(res, body, b"", backend)
-            end = hdr.data_offset + (res.end_bit + 7) // 8
+            end = hdr.data_offset + (end_bit + 7) // 8
             crc, isize = gzip_fmt.read_trailer(data, end)
             if verify:
                 computed = _verify_device_or_host("crc32", body_dev, out, 0)

@@ -42,8 +42,10 @@ def _build() -> str | None:
     if (os.path.exists(_SO)
             and os.path.getmtime(_SO) >= os.path.getmtime(_SRC)):
         return _SO
-    cmd = ["g++", "-O3", "-shared", "-fPIC", "-std=c++17",
-           "-o", _SO + ".tmp", _SRC]
+    # Plain -O3: -march=native/-funroll-loops measured SLOWER on the
+    # virtualized Xeon (worse branch behavior in the decode loop).
+    cmd = ["g++", "-O3", "-shared",
+           "-fPIC", "-std=c++17", "-o", _SO + ".tmp", _SRC]
     try:
         subprocess.run(cmd, check=True, capture_output=True, timeout=300)
         os.replace(_SO + ".tmp", _SO)
