@@ -875,10 +875,13 @@ int64_t tbz_match(const uint8_t* b, int64_t n, int32_t level,
   struct Cfg {
     int good, lazy, nice, chain;
   };
+  // Slightly deeper chains than zlib's config table at 6/7: the package-
+  // merge entropy stage amortizes it, keeping sizes below libz at every
+  // level with comparable speed.
   static const Cfg cfgs[10] = {
       {0, 0, 0, 0},        {4, 0, 8, 4},      {4, 0, 16, 8},
       {4, 0, 32, 32},      {4, 4, 16, 16},    {8, 16, 32, 32},
-      {8, 16, 128, 128},   {8, 32, 128, 256}, {32, 128, 258, 1024},
+      {8, 32, 128, 256},   {16, 64, 258, 512}, {32, 128, 258, 1024},
       {32, 258, 258, 4096}};
   Cfg cfg = cfgs[level < 1 ? 1 : (level > 9 ? 9 : level)];
   constexpr int HBITS = 15, HSIZE = 1 << HBITS;

@@ -73,8 +73,7 @@ def decode_streams_sharded(payloads: list[bytes], mesh=None,
         mesh = make_mesh(sp=1)
     ndev = mesh.devices.size
 
-    metas = []
-    for p in payloads:
+    def front(p):
         p = bytes(p)
         fmt = api.detect_format(p) if format == "auto" else format
         if fmt == "gzip":
@@ -83,16 +82,20 @@ def decode_streams_sharded(payloads: list[bytes], mesh=None,
             res = frontend.tokenize(body)
             crc, isize = gzip_fmt.read_trailer(
                 body, (res.end_bit + 7) // 8)
-            metas.append((fmt, body, res, ("crc32", crc, isize)))
-        elif fmt == "zlib":
+            return (fmt, body, res, ("crc32", crc, isize))
+        if fmt == "zlib":
             hdr = zlib_fmt.parse_header(p)
             body = p[hdr.data_offset:]
             res = frontend.tokenize(body)
             adler = zlib_fmt.read_trailer(body, (res.end_bit + 7) // 8)
-            metas.append((fmt, body, res, ("adler32", adler, None)))
-        else:
-            res = frontend.tokenize(p)
-            metas.append((fmt, p, res, (None, None, None)))
+            return (fmt, body, res, ("adler32", adler, None))
+        res = frontend.tokenize(p)
+        return (fmt, p, res, (None, None, None))
+
+    # Host frontends are per-stream independent; ctypes releases the GIL.
+    import concurrent.futures
+    with concurrent.futures.ThreadPoolExecutor(4) as ex:
+        metas = list(ex.map(front, payloads))
 
     S = len(metas)
     S_pad = -(-S // ndev) * ndev
