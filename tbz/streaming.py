@@ -247,6 +247,7 @@ class Decompressor:
         self._member_out = 0
         self.unused_data = b""
         self.eof = False
+        self._pending = b""  # produced output withheld by max_length
 
     # --- internals ---------------------------------------------------------
 
@@ -316,7 +317,7 @@ class Decompressor:
         self.state = self.S_HEADER
         self._hdr_buf = b""
         if rest:
-            return self.decompress(rest)
+            return self._decompress_all(rest)
         return b""
 
     def _finish_stream(self, unused: bytes):
@@ -326,7 +327,27 @@ class Decompressor:
 
     # --- public ------------------------------------------------------------
 
-    def decompress(self, data: bytes) -> bytes:
+    def decompress(self, data: bytes, max_length: int = 0) -> bytes:
+        """Feed input; returns decompressed bytes. max_length > 0 caps
+        the returned size (the reference's output-overflow protocol,
+        README.md:73 / zlib.decompressobj parity) — excess is buffered
+        and drained by later calls (including with data=b"")."""
+        out = self._decompress_all(data)
+        if max_length and max_length > 0:
+            out = self._pending + out
+            self._pending = out[max_length:]
+            return out[:max_length]
+        if self._pending:
+            out = self._pending + out
+            self._pending = b""
+        return out
+
+    @property
+    def pending_output(self) -> int:
+        """Bytes produced but withheld by a previous max_length."""
+        return len(self._pending)
+
+    def _decompress_all(self, data: bytes) -> bytes:
         data = bytes(data)
         if self.state == self.S_DONE:
             self.unused_data += data
@@ -371,15 +392,19 @@ class Decompressor:
         return self._start_body("gzip", body)
 
     def flush(self) -> bytes:
+        def drain():
+            p, self._pending = self._pending, b""
+            return p
+
         if self.eof:
-            return b""
+            return drain()
         if self.state == self.S_HEADER and not self._hdr_buf and not self.members:
-            return b""  # no input at all
+            return drain()  # no input at all
         if self.state == self.S_HEADER and self.members:
             # Complete at a gzip member boundary; pending partial-magic
             # bytes are trailing junk.
             self._finish_stream(self._hdr_buf)
-            return b""
+            return drain()
         raise TruncatedError("stream incomplete at flush")
 
     @property

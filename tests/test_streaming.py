@@ -189,3 +189,37 @@ def test_python_inflater_fuzz():
             out += piece
             window = (window + piece)[-32768:]
         assert inf.finished and out == DATA[:100000]
+
+
+def test_max_length_output_overflow_protocol():
+    """Fixed-size output harvesting — the reference's output-overflow
+    loop (test-chunked-output.lisp port at the API level): harvest in
+    small buffers of many sizes, byte-exact reassembly."""
+    payload = zlib.compress(DATA, 9)
+    rng = random.Random(42)
+    for _ in range(5):
+        d = Decompressor("zlib")
+        out = []
+        pos = 0
+        while not d.eof or d.pending_output:
+            chunk = payload[pos:pos + 997]
+            pos += 997
+            piece = d.decompress(chunk, max_length=rng.randint(1, 12345))
+            out.append(piece)
+            if pos >= len(payload) and not piece and not d.pending_output:
+                break
+        out.append(d.flush())
+        assert b"".join(out) == DATA
+
+
+def test_max_length_tiny_buffers():
+    """3-byte output buffers (test-chunked-output.lisp:55-66 analog)."""
+    data = DATA[:5000]
+    payload = zlib.compress(data, 9)
+    d = Decompressor("zlib")
+    out = [d.decompress(payload, max_length=3)]
+    while d.pending_output:
+        out.append(d.decompress(b"", max_length=3))
+        assert len(out[-1]) <= 3
+    out.append(d.flush())
+    assert b"".join(out) == data
