@@ -109,8 +109,10 @@ def decompress(data, format: str = "auto", *, backend: str = "auto",
     pos = 0
 
     if fmt == "raw":
+        # Raw streams take a preset dictionary unconditionally
+        # (zlib.decompressobj(-15, zdict=...) semantics).
         out, end_bit, finished, _ = _decode_body(
-            data, b"", backend, output_size or 0)
+            data, zdict[-32768:], backend, output_size or 0)
         if not finished:
             raise TruncatedError("deflate stream has no final block")
         if output_size is not None and len(out) != output_size:
@@ -123,8 +125,12 @@ def decompress(data, format: str = "auto", *, backend: str = "auto",
     elif fmt == "zlib":
         hdr = zlib_fmt.parse_header(data, zdict)
         body = data[hdr.data_offset:]
+        # RFC 1950: the dictionary is applied only when the header's
+        # FDICT flag requests it; preloading otherwise would let corrupt
+        # too-far distances decode (diverging from zlib's error class).
+        window = zdict[-32768:] if hdr.fdict else b""
         out, end_bit, finished, body_dev = _decode_body(
-            body, zdict, backend, output_size or 0)
+            body, window, backend, output_size or 0)
         if not finished:
             raise TruncatedError("zlib deflate body truncated")
         end = hdr.data_offset + (end_bit + 7) // 8

@@ -258,15 +258,27 @@ class Decompressor:
         return detect_format(buf)
 
     def _start_body(self, fmt: str, body_prefix: bytes):
-        self.window = self.zdict[-C.MAX_WINDOW:] if fmt != "gzip" else b""
+        # Preset dictionary: raw streams take it unconditionally
+        # (zlib.decompressobj(-15, zdict=...) semantics); zlib streams
+        # only when the header's FDICT flag asked for one (RFC 1950);
+        # gzip has no dictionary concept.
+        if fmt == "raw" or (fmt == "zlib" and self.header is not None
+                            and self.header.fdict):
+            self.window = self.zdict[-C.MAX_WINDOW:]
+        else:
+            self.window = b""
         self._inflater = _make_inflater(len(self.window))
         self._cksum = 0 if fmt in ("gzip", "raw") else 1
         self._member_out = 0
         self.state = self.S_BODY
         return self._pump(body_prefix)
 
-    def _pump(self, data: bytes) -> bytes:
-        """Feed the inflater, resolve new tokens against the window."""
+    def _pump(self, data: bytes):
+        """Feed the inflater, resolve new tokens against the window.
+        Returns (out, leftover) — leftover is non-None only when a gzip
+        member completed with input bytes remaining (the caller loop in
+        _decompress_all re-enters header parsing with them; iterative so
+        thousands of concatenated members don't recurse)."""
         tape, src = self._inflater.feed(data)
         if len(tape):
             if isinstance(self._inflater, _NativeInflater):
@@ -289,25 +301,27 @@ class Decompressor:
             trailer_input = self._inflater.trailing_bytes()
             self.state = self.S_TRAILER
             self._hdr_buf = b""
-            return out + self._handle_trailer(trailer_input)
-        return out
+            t_out, leftover = self._handle_trailer(trailer_input)
+            return out + t_out, leftover
+        return out, None
 
-    def _handle_trailer(self, data: bytes) -> bytes:
+    def _handle_trailer(self, data: bytes):
+        """Returns (out, leftover) like _pump."""
         self._hdr_buf += data
         fmt = self.format
         if fmt == "raw":
             self._finish_stream(self._hdr_buf)
-            return b""
+            return b"", None
         need = 4 if fmt == "zlib" else 8
         if len(self._hdr_buf) < need:
-            return b""
+            return b"", None
         tr, rest = self._hdr_buf[:need], self._hdr_buf[need:]
         if fmt == "zlib":
             stored = int.from_bytes(tr, "big")
             if self.verify:
                 zlib_fmt.check_adler(stored, self._cksum)
             self._finish_stream(rest)
-            return b""
+            return b"", None
         # gzip: CRC + ISIZE, then maybe another member
         crc = int.from_bytes(tr[:4], "little")
         isize = int.from_bytes(tr[4:], "little")
@@ -316,9 +330,7 @@ class Decompressor:
         self.members.append(self._member_out)
         self.state = self.S_HEADER
         self._hdr_buf = b""
-        if rest:
-            return self._decompress_all(rest)
-        return b""
+        return b"", (rest if rest else None)
 
     def _finish_stream(self, unused: bytes):
         self.state = self.S_DONE
@@ -348,10 +360,22 @@ class Decompressor:
         return len(self._pending)
 
     def _decompress_all(self, data: bytes) -> bytes:
-        data = bytes(data)
+        """Iterative state-machine driver: a gzip member boundary hands
+        leftover bytes back to this loop (never recursion — BGZF-style
+        files carry thousands of members in one call)."""
+        parts = []
+        leftover = bytes(data)
+        while leftover is not None:
+            out, leftover = self._step(leftover)
+            if out:
+                parts.append(out)
+        return b"".join(parts)
+
+    def _step(self, data: bytes):
+        """One state-machine advance. Returns (out, leftover|None)."""
         if self.state == self.S_DONE:
             self.unused_data += data
-            return b""
+            return b"", None
         if self.state == self.S_TRAILER:
             return self._handle_trailer(data)
         if self.state == self.S_BODY:
@@ -361,7 +385,7 @@ class Decompressor:
         if self.format == "auto":
             fmt = self._detect(self._hdr_buf)
             if fmt is None:
-                return b""
+                return b"", None
             self.format = fmt
         if self.format == "raw":
             buf, self._hdr_buf = self._hdr_buf, b""
@@ -370,7 +394,7 @@ class Decompressor:
             try:
                 hdr = zlib_fmt.parse_header(self._hdr_buf, self.zdict)
             except TruncatedError:
-                return b""
+                return b"", None
             self.header = hdr
             body = self._hdr_buf[hdr.data_offset:]
             self._hdr_buf = b""
@@ -381,11 +405,11 @@ class Decompressor:
             # After a complete member, non-magic bytes are trailing
             # garbage, not an error (stdlib gzip semantics).
             self._finish_stream(self._hdr_buf)
-            return b""
+            return b"", None
         try:
             hdr = gzip_fmt.parse_header(self._hdr_buf, 0)
         except TruncatedError:
-            return b""
+            return b"", None
         self.header = hdr
         body = self._hdr_buf[hdr.data_offset:]
         self._hdr_buf = b""

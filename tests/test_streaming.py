@@ -223,3 +223,45 @@ def test_max_length_tiny_buffers():
         assert len(out[-1]) <= 3
     out.append(d.flush())
     assert b"".join(out) == data
+
+
+def test_thousands_of_gzip_members_one_call():
+    """BGZF-style files concatenate thousands of tiny members; the
+    member hand-off must be iterative, not recursive."""
+    payload = b"".join(_gzip.compress(b"x%d," % i) for i in range(3000))
+    d = Decompressor("gzip")
+    out = d.decompress(payload) + d.flush()
+    assert out == b"".join(b"x%d," % i for i in range(3000))
+    assert len(d.members) == 3000
+
+
+def test_zlib_zdict_ignored_without_fdict():
+    """A zlib stream whose header lacks FDICT must NOT get the preset
+    dictionary preloaded: too-far distances stay errors (zlib parity)."""
+    zdict = DATA[:4096]
+    # Build a raw stream that references the dictionary, then wrap it in
+    # a plain (no-FDICT) zlib header: stdlib zlib rejects it.
+    co = zlib.compressobj(9, zlib.DEFLATED, -15, zdict=zdict)
+    body = co.compress(DATA[:3000]) + co.flush()
+    cmf, flg = 0x78, 0
+    flg = (31 - ((cmf << 8) % 31)) % 31
+    fake = bytes([cmf, flg]) + body + b"\x00\x00\x00\x01"
+    ref = zlib.decompressobj(zdict=zdict)
+    with pytest.raises(zlib.error):
+        ref.decompress(fake)
+    d = Decompressor("zlib", zdict=zdict, verify=False)
+    from tbz.errors import DeflateError
+    with pytest.raises(DeflateError):
+        d.decompress(fake)
+
+
+def test_raw_zdict_streaming_and_oneshot_agree():
+    from tbz import api
+    zdict = DATA[:4096]
+    co = zlib.compressobj(9, zlib.DEFLATED, -15, zdict=zdict)
+    body = co.compress(DATA[:3000]) + co.flush()
+    ref = zlib.decompressobj(-15, zdict=zdict)
+    want = ref.decompress(body)
+    d = Decompressor("raw", zdict=zdict)
+    assert d.decompress(body) + d.flush() == want
+    assert api.decompress(body, "raw", zdict=zdict) == want
