@@ -419,6 +419,8 @@ struct TokResult {
   int64_t total_out;
   int32_t finished;
   int32_t err;
+  int32_t suspended;  // stopped by max_out budget (tbz_tokenize_stream)
+  int32_t pad_;
 };
 
 // Block-granular variant: on input underrun, rolls back to the start of
@@ -607,6 +609,205 @@ int32_t tbz_tokenize_blocks(const uint8_t* data, int64_t size,
                             TokResult* res) {
   return tokenize_impl(data, size, start_bit, window_len, produced_init,
                        out_len, dist, root_val, cap, 1, res);
+}
+
+// ---- resumable streaming tokenizer ----------------------------------------
+// Token-granular suspend/resume with explicit state, the native analog of
+// the reference's save-state protocol (deflate.lisp:114-137 via
+// util.lisp:25-46): the caller owns a TokState; every call consumes input
+// up to the last complete token (or the max_out output budget) and can be
+// resumed later with fresh input — no per-chunk re-parse of block data
+// (amortized O(n) for any chunking) and no unbounded output growth
+// (max_out bounds work AND memory, README.md:80-93 cost model).
+struct TokState {
+  int32_t mode;  // 0 at-block-boundary, 1 in-data-block, 2 in-stored, 3 done
+  int32_t bfinal;
+  int32_t is_fixed;  // mode==1: tables are the static pair, not `tables`
+  int32_t pad_;
+  int64_t stored_remaining;
+  Tables tables;  // dynamic tables carried across suspensions
+};
+
+int64_t tbz_state_size() { return (int64_t)sizeof(TokState); }
+void tbz_state_init(TokState* st) { std::memset(st, 0, sizeof(TokState)); }
+
+// Returns res->err (OK on clean suspend — input underrun or budget stop;
+// res->suspended distinguishes the budget case, res->finished the end).
+int32_t tbz_tokenize_stream(const uint8_t* data, int64_t size,
+                            int64_t start_bit, int64_t window_len,
+                            int64_t produced_init, int64_t max_out,
+                            TokState* st, int32_t* out_len, int32_t* dist,
+                            int32_t* root_val, int64_t cap, TokResult* res) {
+  ensure_fixed();
+  Br br;
+  br.init(data, size, start_bit);
+  int64_t nt = 0;
+  int64_t produced = produced_init;
+  res->finished = 0;
+  res->err = OK;
+  res->suspended = 0;
+  auto budget_left = [&]() -> int64_t {
+    return max_out > 0 ? max_out - (produced - produced_init) : INT64_MAX;
+  };
+
+  for (;;) {
+    if (st->mode == 3) {
+      res->finished = 1;
+      break;
+    }
+    if (budget_left() <= 0) {
+      res->suspended = 1;
+      break;
+    }
+    if (st->mode == 0) {  // block boundary: header
+      int64_t block_start = br.bit_position();
+      uint32_t bfinal, btype;
+      if (!br.get(1, &bfinal) || !br.get(2, &btype)) {
+        br.init(data, size, block_start);
+        break;  // underrun: resume at header
+      }
+      if (btype == 3) {
+        res->err = ERR_BAD_BLOCK_TYPE;
+        break;
+      }
+      st->bfinal = int32_t(bfinal);
+      if (btype == 0) {
+        br.align_byte();
+        uint32_t ln, nlen;
+        if (!br.get(16, &ln) || !br.get(16, &nlen)) {
+          br.init(data, size, block_start);
+          break;
+        }
+        if (ln != (~nlen & 0xFFFF)) {
+          res->err = ERR_STORED_LEN_MISMATCH;
+          break;
+        }
+        st->stored_remaining = ln;
+        if (ln == 0) {
+          st->mode = st->bfinal ? 3 : 0;
+          continue;
+        }
+        st->mode = 2;
+      } else if (btype == 1) {
+        st->is_fixed = 1;
+        st->mode = 1;
+      } else {
+        int err = read_dynamic(br, &st->tables);
+        if (err == ERR_TRUNCATED) {  // header split: re-parse next call
+          br.init(data, size, block_start);
+          break;
+        }
+        if (err) {
+          res->err = err;
+          break;
+        }
+        st->is_fixed = 0;
+        st->mode = 1;
+      }
+      continue;
+    }
+    if (st->mode == 2) {  // stored payload (byte-aligned here)
+      int64_t avail = br.bits_available() >> 3;
+      int64_t take = st->stored_remaining < avail ? st->stored_remaining
+                                                  : avail;
+      if (take > budget_left()) take = budget_left();
+      if (take > 0) {
+        if (nt >= cap) {
+          res->err = ERR_TAPE_OVERFLOW;
+          break;
+        }
+        int64_t off = br.bit_position() >> 3;
+        out_len[nt] = int32_t(take);
+        dist[nt] = 0;
+        root_val[nt] = STORED_FLAG | int32_t(off);
+        nt++;
+        produced += take;
+        st->stored_remaining -= take;
+        br.init(data, size, (off + take) * 8);
+      }
+      if (st->stored_remaining > 0) {
+        if (budget_left() <= 0) {
+          res->suspended = 1;
+        }
+        break;  // need more input or budget
+      }
+      st->mode = st->bfinal ? 3 : 0;
+      continue;
+    }
+    // mode 1: compressed data, symbol loop
+    const uint32_t* lit_t = st->is_fixed ? g_fixed.lit : st->tables.lit;
+    const uint32_t* dist_t = st->is_fixed ? g_fixed.dist : st->tables.dist;
+    for (;;) {
+      if (budget_left() <= 0) {
+        res->suspended = 1;
+        goto done;
+      }
+      int64_t sym_start = br.bit_position();
+      uint32_t op, extra, val;
+      int err = decode_symbol(br, lit_t, kLitRoot, &op, &extra, &val);
+      if (err == ERR_TRUNCATED) {
+        br.init(data, size, sym_start);
+        goto done;
+      }
+      if (err) {
+        res->err = err;
+        goto done;
+      }
+      if (op == OP_END) {
+        st->mode = st->bfinal ? 3 : 0;
+        break;
+      }
+      if (nt >= cap) {
+        res->err = ERR_TAPE_OVERFLOW;
+        br.init(data, size, sym_start);
+        goto done;
+      }
+      if (op == OP_LITERAL) {
+        out_len[nt] = 1;
+        dist[nt] = 0;
+        root_val[nt] = int32_t(val);
+        nt++;
+        produced++;
+        continue;
+      }
+      uint32_t ebits = 0;
+      if (extra && !br.get(extra, &ebits)) {
+        br.init(data, size, sym_start);
+        goto done;
+      }
+      int length = val + ebits;
+      uint32_t dop, dextra, dval;
+      err = decode_symbol(br, dist_t, kDistRoot, &dop, &dextra, &dval);
+      if (err == ERR_TRUNCATED) {
+        br.init(data, size, sym_start);
+        goto done;
+      }
+      if (err) {
+        res->err = err;
+        goto done;
+      }
+      uint32_t debits = 0;
+      if (dextra && !br.get(dextra, &debits)) {
+        br.init(data, size, sym_start);
+        goto done;
+      }
+      int64_t d = dval + debits;
+      if (d > produced + window_len) {
+        res->err = ERR_BAD_DISTANCE;
+        goto done;
+      }
+      out_len[nt] = length;
+      dist[nt] = int32_t(d);
+      root_val[nt] = 0;
+      nt++;
+      produced += length;
+    }
+  }
+done:
+  res->n_tokens = nt;
+  res->end_bit = br.bit_position();
+  res->total_out = produced - produced_init;
+  return res->err;
 }
 
 // Resolve a token tape to bytes on the host (oracle/bench path).

@@ -34,6 +34,8 @@ class _TokResult(ctypes.Structure):
         ("total_out", ctypes.c_int64),
         ("finished", ctypes.c_int32),
         ("err", ctypes.c_int32),
+        ("suspended", ctypes.c_int32),
+        ("pad_", ctypes.c_int32),
     ]
 
 
@@ -76,6 +78,17 @@ def _load():
             ctypes.POINTER(_TokResult)]
         lib.tbz_tokenize_blocks.restype = ctypes.c_int32
         lib.tbz_tokenize_blocks.argtypes = lib.tbz_tokenize.argtypes
+        lib.tbz_state_size.restype = ctypes.c_int64
+        lib.tbz_state_size.argtypes = []
+        lib.tbz_state_init.restype = None
+        lib.tbz_state_init.argtypes = [ctypes.c_void_p]
+        lib.tbz_tokenize_stream.restype = ctypes.c_int32
+        lib.tbz_tokenize_stream.argtypes = [
+            ctypes.c_char_p, ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
+            ctypes.c_int64, ctypes.c_int64, ctypes.c_void_p,
+            ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int32),
+            ctypes.POINTER(ctypes.c_int32), ctypes.c_int64,
+            ctypes.POINTER(_TokResult)]
         lib.tbz_resolve.restype = ctypes.c_int32
         lib.tbz_resolve.argtypes = [
             ctypes.c_char_p, ctypes.c_int64,
@@ -184,6 +197,68 @@ def tokenize_blocks(data, bit_pos: int = 0, window_len: int = 0,
         return FrontendResult(tape=tape, blocks=[],
                               end_bit=int(res.end_bit),
                               finished=bool(res.finished))
+
+
+def new_stream_state():
+    """Opaque resumable tokenizer state for tokenize_stream."""
+    lib = _load()
+    buf = ctypes.create_string_buffer(int(lib.tbz_state_size()))
+    lib.tbz_state_init(buf)
+    return buf
+
+
+def tokenize_stream(state, data, bit_pos: int, window_len: int,
+                    produced_init: int, max_out: int = 0):
+    """Resumable token-granular tokenizer. Consumes input up to the last
+    complete token (never raises on underrun) and stops once max_out>0
+    output bytes are tagged. The budget check precedes each token, so
+    total_out <= max_out + 257 (the final token may be a full-length
+    match; stored chunks split exactly at the budget).
+
+    Returns (FrontendResult, suspended). `state` carries mid-block
+    position + tables, so re-feeding never re-parses block data."""
+    lib = _load()
+    dptr, dlen, _keep = _buf(data)
+    in_bound = 8 * max(0, dlen - bit_pos // 8) + 64
+    cap = min(max_out + 257, in_bound) if max_out > 0 else in_bound
+    cap = max(cap, 1024)
+    pieces = []
+    total = 0
+    finished = suspended = False
+    while True:
+        out_len = np.empty(cap, np.int32)
+        dist = np.empty(cap, np.int32)
+        root_val = np.empty(cap, np.int32)
+        res = _TokResult()
+        lib.tbz_tokenize_stream(dptr, dlen, bit_pos, window_len,
+                                produced_init, max_out, state,
+                                _i32p(out_len), _i32p(dist), _i32p(root_val),
+                                cap, ctypes.byref(res))
+        n = res.n_tokens
+        if n:
+            pieces.append((out_len[:n], dist[:n], root_val[:n]))
+        total += int(res.total_out)
+        bit_pos = int(res.end_bit)
+        produced_init += int(res.total_out)
+        if max_out > 0:
+            max_out -= int(res.total_out)
+        finished = bool(res.finished)
+        suspended = bool(res.suspended)
+        if res.err == ERR_TAPE_OVERFLOW:
+            continue  # state + end_bit resume cleanly with a fresh tape
+        raise_for_code(res.err)
+        break
+    if len(pieces) == 1:
+        ol, di, rv = pieces[0]
+    elif pieces:
+        ol = np.concatenate([p[0] for p in pieces])
+        di = np.concatenate([p[1] for p in pieces])
+        rv = np.concatenate([p[2] for p in pieces])
+    else:
+        ol = di = rv = np.empty(0, np.int32)
+    tape = TokenTape(out_len=ol, dist=di, root_val=rv, total_out=total)
+    return (FrontendResult(tape=tape, blocks=[], end_bit=bit_pos,
+                           finished=finished), suspended)
 
 
 def resolve(tape: TokenTape, data, window: bytes = b"") -> bytes:

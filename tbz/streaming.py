@@ -49,6 +49,7 @@ class IncrementalInflater:
         self.window_len = window_len
         self.buf = b""
         self.bit_pos = 0  # bit offset into self.buf
+        self.suspended = False  # last feed stopped on the max_out budget
 
     @property
     def finished(self) -> bool:
@@ -59,13 +60,19 @@ class IncrementalInflater:
         assert self.finished
         return self.buf[(self.bit_pos + 7) // 8:]
 
-    def feed(self, data: bytes) -> tuple[TokenTape, bytes]:
+    def feed(self, data: bytes, max_out: int = 0) -> tuple[TokenTape, bytes]:
+        """Tokenize buffered+new input. max_out > 0 bounds the output
+        bytes tagged this call (token-granular, overshoot <= 257) — the
+        reference's output-overflow protocol: work and memory stay
+        O(max_out), not O(everything fed)."""
         self.buf += data
         src = self.buf
         br = BitReader(src, self.bit_pos)
         out_len: list[int] = []
         dist: list[int] = []
         root_val: list[int] = []
+        produced0 = self.produced
+        self.suspended = False
 
         def snap():
             return br.buf, br.nbits, br.byte_pos
@@ -74,6 +81,9 @@ class IncrementalInflater:
             br.buf, br.nbits, br.byte_pos = s
 
         while self.mode != self.MODE_DONE:
+            if max_out and self.produced - produced0 >= max_out:
+                self.suspended = True
+                break
             if self.mode == self.MODE_BLOCK:
                 s = snap()
                 try:
@@ -104,6 +114,8 @@ class IncrementalInflater:
             elif self.mode == self.MODE_STORED:
                 avail = br.bits_available() // 8
                 take = min(self.stored_remaining, avail)
+                if max_out:
+                    take = min(take, max_out - (self.produced - produced0))
                 if take:
                     off = br.bit_position() >> 3
                     br.read_bytes_aligned(take)
@@ -113,7 +125,9 @@ class IncrementalInflater:
                     self.produced += take
                     self.stored_remaining -= take
                 if self.stored_remaining:
-                    break  # need more input
+                    if max_out and self.produced - produced0 >= max_out:
+                        self.suspended = True
+                    break  # need more input (or budget)
                 self._end_block()
             else:  # MODE_DATA
                 s = snap()
@@ -173,9 +187,12 @@ class IncrementalInflater:
 
 
 class _NativeInflater:
-    """Block-granular incremental tokenizer over the C++ frontend — the
-    same interface as IncrementalInflater, resuming at block boundaries
-    (rolled back by tbz_tokenize_blocks) instead of token boundaries.
+    """Token-granular incremental tokenizer over the C++ frontend — the
+    same interface as IncrementalInflater, carrying mid-block state
+    (decode tables + bit position) in an opaque native TokState, so
+    resume never re-parses block data: total work is O(n) for ANY input
+    chunking (the round-1 block-granular version re-tokenized the
+    incomplete trailing block per chunk — quadratic at small chunks).
     ~100x the Python inflater's throughput for streaming decode."""
 
     def __init__(self, window_len: int = 0):
@@ -186,13 +203,16 @@ class _NativeInflater:
         self.bit_pos = 0
         self.produced = 0
         self.finished = False
+        self.suspended = False
+        self._state = loader.new_stream_state()
         self._end_bit = 0
 
-    def feed(self, data: bytes):
+    def feed(self, data: bytes, max_out: int = 0):
         self.buf += data
         src = self.buf
-        res = self._loader.tokenize_blocks(
-            src, self.bit_pos, self.window_len, self.produced)
+        res, self.suspended = self._loader.tokenize_stream(
+            self._state, src, self.bit_pos, self.window_len, self.produced,
+            max_out)
         self.produced += res.tape.total_out
         self.finished = res.finished
         self._end_bit = res.end_bit
@@ -232,6 +252,10 @@ class Decompressor:
 
     S_HEADER, S_BODY, S_TRAILER, S_DONE = range(4)
 
+    #: input slice fed to the tokenizer per bounded-mode iteration — the
+    #: unit of input-side memory in the O(max_length + SLICE + 32KB) bound
+    SLICE = 1 << 18
+
     def __init__(self, format: str = "auto", zdict: bytes = b"",
                  verify: bool = True):
         self.format = format
@@ -248,6 +272,41 @@ class Decompressor:
         self.unused_data = b""
         self.eof = False
         self._pending = b""  # produced output withheld by max_length
+        # input not yet handed to the state machine (bounded mode):
+        # list of chunks + offset into the first, O(1) amortized take
+        self._tail: list[bytes] = []
+        self._tail_off = 0
+        self._tail_len = 0
+
+    # --- bounded-mode input queue ------------------------------------------
+
+    def _tail_push(self, data: bytes):
+        if data:
+            self._tail.append(data)
+            self._tail_len += len(data)
+
+    def _tail_take(self, n: int) -> bytes:
+        parts = []
+        got = 0
+        while self._tail and got < n:
+            head = self._tail[0]
+            piece = head[self._tail_off:self._tail_off + (n - got)]
+            got += len(piece)
+            parts.append(piece)
+            self._tail_off += len(piece)
+            if self._tail_off >= len(head):
+                self._tail.pop(0)
+                self._tail_off = 0
+        self._tail_len -= got
+        return b"".join(parts)
+
+    @property
+    def unconsumed_tail(self) -> bytes:
+        """Input withheld from decoding by max_length (it is re-fed
+        automatically on later calls; exposed for zlib parity)."""
+        if not self._tail:
+            return b""
+        return b"".join([self._tail[0][self._tail_off:]] + self._tail[1:])
 
     # --- internals ---------------------------------------------------------
 
@@ -257,7 +316,7 @@ class Decompressor:
         from .api import detect_format
         return detect_format(buf)
 
-    def _start_body(self, fmt: str, body_prefix: bytes):
+    def _start_body(self, fmt: str, body_prefix: bytes, max_out=None):
         # Preset dictionary: raw streams take it unconditionally
         # (zlib.decompressobj(-15, zdict=...) semantics); zlib streams
         # only when the header's FDICT flag asked for one (RFC 1950);
@@ -271,15 +330,15 @@ class Decompressor:
         self._cksum = 0 if fmt in ("gzip", "raw") else 1
         self._member_out = 0
         self.state = self.S_BODY
-        return self._pump(body_prefix)
+        return self._pump(body_prefix, max_out)
 
-    def _pump(self, data: bytes):
+    def _pump(self, data: bytes, max_out=None):
         """Feed the inflater, resolve new tokens against the window.
         Returns (out, leftover) — leftover is non-None only when a gzip
         member completed with input bytes remaining (the caller loop in
         _decompress_all re-enters header parsing with them; iterative so
         thousands of concatenated members don't recurse)."""
-        tape, src = self._inflater.feed(data)
+        tape, src = self._inflater.feed(data, max_out or 0)
         if len(tape):
             if isinstance(self._inflater, _NativeInflater):
                 from .native import loader
@@ -340,38 +399,77 @@ class Decompressor:
     # --- public ------------------------------------------------------------
 
     def decompress(self, data: bytes, max_length: int = 0) -> bytes:
-        """Feed input; returns decompressed bytes. max_length > 0 caps
-        the returned size (the reference's output-overflow protocol,
-        README.md:73 / zlib.decompressobj parity) — excess is buffered
-        and drained by later calls (including with data=b"")."""
-        out = self._decompress_all(data)
-        if max_length and max_length > 0:
-            out = self._pending + out
-            self._pending = out[max_length:]
-            return out[:max_length]
+        """Feed input; returns decompressed bytes. max_length > 0 bounds
+        the returned size AND the decode work/memory (the reference's
+        output-overflow protocol, deflate.lisp:121-137 / README.md:80-93
+        cost model): at most ~max_length output is decoded per call —
+        peak buffered state is O(max_length + SLICE + 32KB window)
+        regardless of how much input was fed. Withheld input/output is
+        drained by later calls (including with data=b"") or flush()."""
+        data = bytes(data)
+        if not (max_length and max_length > 0):
+            if self._tail_len:
+                data = self._tail_take(self._tail_len) + data
+            out = self._decompress_all(data)
+            if self._pending:
+                out = self._pending + out
+                self._pending = b""
+            return out
+        # Bounded mode: drain withheld output first, then decode from
+        # the input queue in SLICE-sized pieces under a shrinking budget.
+        parts = []
+        budget = max_length
         if self._pending:
-            out = self._pending + out
-            self._pending = b""
-        return out
+            take, self._pending = (self._pending[:budget],
+                                   self._pending[budget:])
+            parts.append(take)
+            budget -= len(take)
+        self._tail_push(data)
+        while budget > 0:
+            piece = self._tail_take(self.SLICE)
+            out = self._decompress_all(piece, budget)
+            if out:
+                take, excess = out[:budget], out[budget:]
+                parts.append(take)
+                budget -= len(take)
+                self._pending += excess
+            if self.state == self.S_DONE:
+                self.unused_data += self._tail_take(self._tail_len)
+                break
+            if not piece and not out:
+                break  # no progress possible without new input
+        return b"".join(parts)
 
     @property
     def pending_output(self) -> int:
         """Bytes produced but withheld by a previous max_length."""
         return len(self._pending)
 
-    def _decompress_all(self, data: bytes) -> bytes:
+    def _decompress_all(self, data: bytes, max_out=None) -> bytes:
         """Iterative state-machine driver: a gzip member boundary hands
         leftover bytes back to this loop (never recursion — BGZF-style
-        files carry thousands of members in one call)."""
+        files carry thousands of members in one call). max_out bounds
+        output decoded this call; input beyond the budget returns to the
+        bounded-mode queue."""
         parts = []
+        produced = 0
         leftover = bytes(data)
         while leftover is not None:
-            out, leftover = self._step(leftover)
+            if max_out is not None and produced >= max_out:
+                if self._tail_off:  # materialize before prepending
+                    self._tail[0] = self._tail[0][self._tail_off:]
+                    self._tail_off = 0
+                self._tail.insert(0, leftover)
+                self._tail_len += len(leftover)
+                break
+            budget = None if max_out is None else max_out - produced
+            out, leftover = self._step(leftover, budget)
             if out:
                 parts.append(out)
+                produced += len(out)
         return b"".join(parts)
 
-    def _step(self, data: bytes):
+    def _step(self, data: bytes, max_out=None):
         """One state-machine advance. Returns (out, leftover|None)."""
         if self.state == self.S_DONE:
             self.unused_data += data
@@ -379,7 +477,7 @@ class Decompressor:
         if self.state == self.S_TRAILER:
             return self._handle_trailer(data)
         if self.state == self.S_BODY:
-            return self._pump(data)
+            return self._pump(data, max_out)
         # S_HEADER
         self._hdr_buf += data
         if self.format == "auto":
@@ -389,7 +487,7 @@ class Decompressor:
             self.format = fmt
         if self.format == "raw":
             buf, self._hdr_buf = self._hdr_buf, b""
-            return self._start_body("raw", buf)
+            return self._start_body("raw", buf, max_out)
         if self.format == "zlib":
             try:
                 hdr = zlib_fmt.parse_header(self._hdr_buf, self.zdict)
@@ -398,7 +496,7 @@ class Decompressor:
             self.header = hdr
             body = self._hdr_buf[hdr.data_offset:]
             self._hdr_buf = b""
-            return self._start_body("zlib", body)
+            return self._start_body("zlib", body, max_out)
         # gzip
         if (self.members and len(self._hdr_buf) >= 2
                 and self._hdr_buf[:2] != b"\x1f\x8b"):
@@ -413,22 +511,28 @@ class Decompressor:
         self.header = hdr
         body = self._hdr_buf[hdr.data_offset:]
         self._hdr_buf = b""
-        return self._start_body("gzip", body)
+        return self._start_body("gzip", body, max_out)
 
     def flush(self) -> bytes:
         def drain():
-            p, self._pending = self._pending, b""
-            return p
+            # Decode whatever bounded-mode calls withheld (input queue +
+            # pending output), unbounded.
+            return self.decompress(b"")
 
+        if self._tail_len or self.state in (self.S_BODY, self.S_TRAILER):
+            out = drain()
+        else:
+            out = self._pending
+            self._pending = b""
         if self.eof:
-            return drain()
+            return out
         if self.state == self.S_HEADER and not self._hdr_buf and not self.members:
-            return drain()  # no input at all
+            return out  # no input at all
         if self.state == self.S_HEADER and self.members:
             # Complete at a gzip member boundary; pending partial-magic
             # bytes are trailing junk.
             self._finish_stream(self._hdr_buf)
-            return drain()
+            return out
         raise TruncatedError("stream incomplete at flush")
 
     @property

@@ -265,3 +265,76 @@ def test_raw_zdict_streaming_and_oneshot_agree():
     d = Decompressor("raw", zdict=zdict)
     assert d.decompress(body) + d.flush() == want
     assert api.decompress(body, "raw", zdict=zdict) == want
+
+
+def _output_bomb(n_out=100 << 20):
+    """~100MB-output stream from ~100KB of input (max-expansion runs)."""
+    co = zlib.compressobj(9, zlib.DEFLATED, -15)
+    return co.compress(b"\x00" * n_out) + co.flush(), n_out
+
+
+def test_max_length_bounds_work_and_memory():
+    """The reference's cost model (deflate.lisp:121-137, README.md:80-93):
+    decoding into a bounded buffer keeps memory O(buffer + 32KB window)
+    no matter how much input is fed at once. A 100MB-output bomb fed
+    WHOLE with max_length=4096 must not materialize the 100MB."""
+    import tracemalloc
+    payload, n_out = _output_bomb()
+    d = Decompressor("raw")
+    tracemalloc.start()
+    first = d.decompress(payload, max_length=4096)
+    base, peak = tracemalloc.get_traced_memory()
+    tracemalloc.stop()
+    assert len(first) == 4096 and first == b"\x00" * 4096
+    # generous bound: max_length + input SLICE + window + tape slack
+    assert peak < 8 << 20, f"peak {peak} bytes — output not bounded"
+    assert d.pending_output <= 300
+    # drain a few more bounded calls, then the rest unbounded
+    got = len(first)
+    for _ in range(16):
+        piece = d.decompress(b"", max_length=1 << 20)
+        assert len(piece) <= 1 << 20
+        assert piece == b"\x00" * len(piece)
+        got += len(piece)
+    rest = d.decompress(b"") + d.flush()
+    assert rest == b"\x00" * len(rest)
+    assert got + len(rest) == n_out and d.eof
+
+
+def test_max_length_chunked_output_fuzz_bounded():
+    """Random harvest-buffer sizes over a zlib stream fed whole —
+    byte-exact reassembly with per-call caps honored (the
+    test-chunked-output.lisp strategy under the bounded protocol)."""
+    data = corpus(123, 1 << 20)
+    payload = zlib.compress(data, 6)
+    rng = random.Random(7)
+    d = Decompressor("zlib")
+    out = []
+    cap = rng.randint(1, 50000)
+    piece = d.decompress(payload, max_length=cap)
+    assert len(piece) <= cap
+    out.append(piece)
+    stall = 0
+    while not d.eof and stall < 3:
+        cap = rng.randint(1, 50000)
+        piece = d.decompress(b"", max_length=cap)
+        assert len(piece) <= cap
+        out.append(piece)
+        stall = stall + 1 if not piece else 0
+    out.append(d.flush())
+    assert b"".join(out) == data and d.eof
+
+
+def test_max_length_multi_member_gzip_bounded():
+    members = [corpus(i, 40000) for i in range(5)]
+    payload = b"".join(_gzip.compress(m, 6) for m in members)
+    want = b"".join(members)
+    d = Decompressor("gzip")
+    out = [d.decompress(payload, max_length=1000)]
+    stall = 0
+    while not d.eof and stall < 3:
+        piece = d.decompress(b"", max_length=7777)
+        out.append(piece)
+        stall = stall + 1 if not piece else 0
+    out.append(d.flush())
+    assert b"".join(out) == want and len(d.members) == 5
