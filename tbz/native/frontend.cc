@@ -12,6 +12,7 @@
 #include <cstdint>
 #include <cstdlib>
 #include <cstring>
+#include <utility>
 
 namespace {
 
@@ -1079,9 +1080,12 @@ int64_t tbz_match(const uint8_t* b, int64_t n, int32_t level,
   // Slightly deeper chains than zlib's config table at 6/7: the package-
   // merge entropy stage amortizes it, keeping sizes below libz at every
   // level with comparable speed.
+  // Deeper than zlib's config table at the same level: the package-
+  // merge entropy stage + DP parse (levels>=4 route to tbz_match_optimal)
+  // amortize it, keeping sizes below libz at EVERY level.
   static const Cfg cfgs[10] = {
-      {0, 0, 0, 0},        {4, 0, 8, 4},      {4, 0, 16, 8},
-      {4, 0, 32, 32},      {4, 4, 16, 16},    {8, 16, 32, 32},
+      {0, 0, 0, 0},        {4, 0, 16, 8},     {4, 0, 24, 16},
+      {4, 0, 32, 32},      {4, 8, 32, 48},    {8, 24, 64, 96},
       {8, 32, 128, 256},   {16, 64, 258, 512}, {32, 128, 258, 1024},
       {32, 258, 258, 4096}};
   Cfg cfg = cfgs[level < 1 ? 1 : (level > 9 ? 9 : level)];
@@ -1176,6 +1180,378 @@ overflow:
   delete[] head;
   delete[] prev;
   return -1;
+}
+
+}  // extern "C"
+
+// ---- near-optimal parse ---------------------------------------------------
+// Cost-model shortest-path parse (the zopfli/libdeflate family of
+// techniques, implemented from the idea): forward DP over byte positions
+// where edge costs are the actual DEFLATE bit costs of literals and
+// (length, distance) pairs, iterated against the entropy stats of the
+// previous parse. Greedy/lazy matchers lose exactly where a locally
+// longer match buys nothing because the continuation was nearly free
+// (e.g. run boundaries: (32,d+16) vs (16,d) before a dist-1 run costs
+// one avoidable extra bit) — the DP sees the continuation and picks the
+// globally cheapest tokenization, which is how levels 4-9 stay <= libz
+// on every corpus rather than on average.
+
+namespace {
+
+inline int len_symbol_of(int l) {
+  static uint8_t tbl[259];
+  static bool ready = false;
+  if (!ready) {
+    for (int s = 0; s < 29; s++) {
+      int hi = (s == 28) ? 258 : kLenBase[s + 1] - 1;
+      for (int v = kLenBase[s]; v <= hi && v <= 258; v++) tbl[v] = s;
+    }
+    tbl[258] = 28;
+    ready = true;
+  }
+  return tbl[l];
+}
+
+inline int dist_symbol_of(int d) {
+  int s = 29;
+  while (kDistBase[s] > d) s--;
+  return s;
+}
+
+// Package-merge optimal length-limited code lengths (same algorithm as
+// ../huffman_encode.py, reimplemented for the in-loop cost refresh).
+void package_merge(const uint64_t* freqs, int n, int limit, uint8_t* lens) {
+  struct Item {
+    uint64_t w;
+    uint32_t leaves_lo, leaves_hi;  // bitmask of symbol indices (n<=288)
+    uint64_t mask2, mask3, mask4, mask5;
+  };
+  // Simpler counting variant: track per-symbol depth increments.
+  int syms[288];
+  int m = 0;
+  for (int i = 0; i < n; i++) {
+    lens[i] = 0;
+    if (freqs[i]) syms[m++] = i;
+  }
+  if (m == 0) return;
+  if (m == 1) {
+    lens[syms[0]] = 1;
+    return;
+  }
+  // coin collector: lists of (weight, set-of-leaf-counts) — represent
+  // each package as weight + vector of contained leaves via parallel
+  // count array built level by level.
+  // We implement the standard boundary package-merge with explicit
+  // package trees (small n makes this cheap).
+  struct Node {
+    uint64_t w;
+    int sym;        // leaf symbol or -1
+    int left, right;  // package children into pool
+  };
+  static thread_local Node pool[1 << 18];
+  int pool_n = 0;
+  auto mk = [&](uint64_t w, int sym, int l, int r) {
+    pool[pool_n] = {w, sym, l, r};
+    return pool_n++;
+  };
+  // sort leaves by weight
+  int order[288];
+  for (int i = 0; i < m; i++) order[i] = syms[i];
+  for (int i = 1; i < m; i++) {  // insertion sort (m<=288)
+    int v = order[i];
+    int j = i - 1;
+    while (j >= 0 && freqs[order[j]] > freqs[v]) order[j + 1] = order[j], j--;
+    order[j + 1] = v;
+  }
+  int prev[640], prev_n = 0, cur[640], cur_n;
+  // level `limit` .. 1
+  for (int i = 0; i < m; i++) prev[i] = mk(freqs[order[i]], order[i], -1, -1);
+  prev_n = m;
+  for (int level = 1; level < limit; level++) {
+    cur_n = 0;
+    // merge leaves with packages of prev level (pairs)
+    int li = 0, pi = 0;
+    int pairs = prev_n / 2;
+    int pk[320], pk_n = 0;
+    for (int k = 0; k + 1 < prev_n; k += 2)
+      pk[pk_n++] = mk(pool[prev[k]].w + pool[prev[k + 1]].w, -1, prev[k],
+                      prev[k + 1]);
+    while (li < m || pi < pk_n) {
+      bool take_leaf =
+          pi >= pk_n ||
+          (li < m && freqs[order[li]] <= pool[pk[pi]].w);
+      if (take_leaf) {
+        cur[cur_n++] = mk(freqs[order[li]], order[li], -1, -1);
+        li++;
+      } else {
+        cur[cur_n++] = pk[pi++];
+      }
+    }
+    prev_n = cur_n;
+    for (int i = 0; i < cur_n; i++) prev[i] = cur[i];
+  }
+  // take first 2m-2 items; count leaf occurrences -> code lengths
+  int take = 2 * m - 2;
+  // iterative stack walk
+  int stack[1 << 16];
+  int sp = 0;
+  for (int i = 0; i < take && i < prev_n; i++) stack[sp++] = prev[i];
+  while (sp) {
+    Node& nd = pool[stack[--sp]];
+    if (nd.sym >= 0) {
+      lens[nd.sym]++;
+    } else {
+      stack[sp++] = nd.left;
+      stack[sp++] = nd.right;
+    }
+  }
+}
+
+struct CostModel {
+  // costs in bits (scaled x8 for sub-bit stat smoothing not needed; use
+  // integer bits from code lengths + extra bits)
+  uint16_t lit[256];
+  uint16_t len_cost[259];   // full cost incl. extra bits
+  uint16_t dist_sym_cost[30];
+  void from_lengths(const uint8_t* lit_lens, const uint8_t* dist_lens) {
+    for (int i = 0; i < 256; i++) lit[i] = lit_lens[i] ? lit_lens[i] : 14;
+    for (int l = 3; l <= 258; l++) {
+      int s = len_symbol_of(l);
+      int c = lit_lens[257 + s] ? lit_lens[257 + s] : 14;
+      len_cost[l] = uint16_t(c + kLenExtra[s]);
+    }
+    for (int s = 0; s < 30; s++)
+      dist_sym_cost[s] =
+          uint16_t((dist_lens[s] ? dist_lens[s] : 14) + kDistExtra[s]);
+  }
+  void init_default() {
+    // pre-stats estimate: fixed-tree-ish costs
+    for (int i = 0; i < 256; i++) lit[i] = i < 144 ? 8 : 9;
+    for (int l = 3; l <= 258; l++) {
+      int s = len_symbol_of(l);
+      len_cost[l] = uint16_t(8 + kLenExtra[s]);
+    }
+    for (int s = 0; s < 30; s++)
+      dist_sym_cost[s] = uint16_t(5 + kDistExtra[s]);
+  }
+};
+
+}  // namespace
+
+extern "C" {
+
+// Near-optimal parse. iters: cost-model refinement rounds (>=1);
+// max_chain bounds the per-position candidate walk. Returns token count
+// or -1 on cap overflow. Memory is O(segment), not O(n): the DP runs
+// over ~4MB segments with a forced token break at each boundary (the
+// 32KB match window still crosses segments via wrapped hash chains).
+int64_t tbz_match_optimal(const uint8_t* b, int64_t n, int32_t max_chain,
+                          int32_t iters, int32_t* out_len, int32_t* dist,
+                          int32_t* lit, int64_t cap) {
+  constexpr int HBITS = 15, HSIZE = 1 << HBITS;
+  constexpr int MIN_MATCH = 3, MAX_MATCH = 258, MAX_DIST = 32768;
+  constexpr int WMASK = 0xFFFF;  // wrapped prev-chain (2x window)
+  constexpr int64_t SEG = 4 << 20;
+  if (n == 0) return 0;
+  if (n < MIN_MATCH) {
+    if (n > cap) return -1;
+    for (int64_t i = 0; i < n; i++) {
+      out_len[i] = 1;
+      dist[i] = 0;
+      lit[i] = b[i];
+    }
+    return n;
+  }
+
+  int32_t* head = new int32_t[HSIZE];
+  int64_t* prev = new int64_t[WMASK + 1];
+  int64_t seg_cap = n < SEG ? n : SEG;
+  uint32_t* dp = new uint32_t[seg_cap + 1];     // cost in bits
+  int32_t* from_len = new int32_t[seg_cap + 1];  // 1=literal, >=3 match len
+  int32_t* from_dist = new int32_t[seg_cap + 1];
+  int32_t* sublen = new int32_t[MAX_MATCH + 1];
+
+  auto hash3 = [&](int64_t i) -> uint32_t {
+    return ((uint32_t(b[i]) << 10) ^ (uint32_t(b[i + 1]) << 5) ^ b[i + 2]) &
+           (HSIZE - 1);
+  };
+
+  CostModel cm;
+  cm.init_default();
+  int64_t nt = 0;
+  if (iters < 1) iters = 1;
+
+  for (int64_t s = 0; s < n; s += SEG) {
+    int64_t e = s + SEG < n ? s + SEG : n;
+    int64_t m = e - s;
+    int64_t seg_nt_base = nt;
+    for (int iter = 0; iter < iters; iter++) {
+      // hash chains rebuilt per iteration, warmed with the 32KB window
+      // before the segment so matches reach back across the boundary
+      for (int i = 0; i < HSIZE; i++) head[i] = -1;
+      int64_t warm = s > MAX_DIST ? s - MAX_DIST : 0;
+      for (int64_t i = warm; i < s; i++) {
+        uint32_t h = hash3(i);
+        prev[i & WMASK] = head[h];
+        head[h] = int64_t(i);
+      }
+      dp[0] = 0;
+      for (int64_t i = 1; i <= m; i++) dp[i] = 0xFFFFFFFFu;
+
+      for (int64_t i = s; i < e; i++) {
+        int64_t r = i - s;  // dp index
+        uint32_t base = dp[r];
+        uint32_t lc = base + cm.lit[b[i]];
+        if (lc < dp[r + 1]) {
+          dp[r + 1] = lc;
+          from_len[r + 1] = 1;
+        }
+        // match edges via hash chain: sublen[l] = nearest dist reaching l
+        if (i + MIN_MATCH <= n) {
+          // cap match length at the segment boundary (forced token break)
+          int max_len = int(e - i < MAX_MATCH ? e - i : MAX_MATCH);
+          if (max_len >= MIN_MATCH) {
+            int best = MIN_MATCH - 1;
+            int64_t cand = head[hash3(i)];
+            int chain = max_chain;
+            while (cand >= 0 && i - cand <= MAX_DIST && chain-- > 0) {
+              if (b[cand + best] == b[i + best] && b[cand] == b[i] &&
+                  b[cand + 1] == b[i + 1]) {
+                int l = 0;
+                while (l < max_len && b[cand + l] == b[i + l]) l++;
+                if (l > best) {
+                  int64_t d = i - cand;
+                  for (int k = best + 1; k <= l; k++) sublen[k] = int32_t(d);
+                  best = l;
+                  if (l >= max_len) break;
+                }
+              }
+              cand = prev[cand & WMASK];
+            }
+            if (best >= MIN_MATCH) {
+              for (int l = MIN_MATCH; l <= best; l++) {
+                uint32_t c = base + cm.len_cost[l] +
+                             cm.dist_sym_cost[dist_symbol_of(sublen[l])];
+                if (c < dp[r + l]) {
+                  dp[r + l] = c;
+                  from_len[r + l] = l;
+                  from_dist[r + l] = sublen[l];
+                }
+              }
+              // long-run shortcut: inside a small-period run (e.g. a
+              // byte or short-pattern repeat) the DP neighborhood
+              // repeats; advance relaxing only the max-length + literal
+              // edges (hash still maintained). Restricted to d0<=8:
+              // with a large period the shortcut would lock out cheaper
+              // near distances and starve the DP of good edges.
+              if (best == MAX_MATCH && max_len == MAX_MATCH &&
+                  sublen[best] <= 8) {
+                int32_t d0 = sublen[best];
+                uint32_t h = hash3(i);
+                prev[i & WMASK] = head[h];
+                head[h] = int64_t(i);
+                int64_t j = i + 1;
+                uint32_t mc = cm.len_cost[MAX_MATCH] +
+                              cm.dist_sym_cost[dist_symbol_of(d0)];
+                while (j + MAX_MATCH <= e &&
+                       b[j + MAX_MATCH - 1] == b[j + MAX_MATCH - 1 - d0]) {
+                  int64_t rj = j - s;
+                  uint32_t c2 = dp[rj] + mc;
+                  if (c2 < dp[rj + MAX_MATCH]) {
+                    dp[rj + MAX_MATCH] = c2;
+                    from_len[rj + MAX_MATCH] = MAX_MATCH;
+                    from_dist[rj + MAX_MATCH] = d0;
+                  }
+                  uint32_t lc2 = dp[rj] + cm.lit[b[j]];
+                  if (lc2 < dp[rj + 1]) {
+                    dp[rj + 1] = lc2;
+                    from_len[rj + 1] = 1;
+                  }
+                  uint32_t h2 = hash3(j);
+                  prev[j & WMASK] = head[h2];
+                  head[h2] = int64_t(j);
+                  j++;
+                }
+                if (j > i + 1) {
+                  i = j - 1;
+                  continue;
+                }
+                continue;  // hash already inserted
+              }
+            }
+          }
+        }
+        if (i + MIN_MATCH <= n) {
+          uint32_t h = hash3(i);
+          prev[i & WMASK] = head[h];
+          head[h] = int64_t(i);
+        }
+      }
+
+      // backtrack this segment (reversed, then reverse in place)
+      nt = seg_nt_base;
+      int64_t pos = m;
+      bool overflow = false;
+      while (pos > 0) {
+        if (nt >= cap) {
+          overflow = true;
+          break;
+        }
+        int l = from_len[pos];
+        if (l == 1) {
+          out_len[nt] = 1;
+          dist[nt] = 0;
+          lit[nt] = b[s + pos - 1];
+          pos -= 1;
+        } else {
+          out_len[nt] = l;
+          dist[nt] = from_dist[pos];
+          lit[nt] = 0;
+          pos -= l;
+        }
+        nt++;
+      }
+      if (overflow) {
+        delete[] head;
+        delete[] prev;
+        delete[] dp;
+        delete[] from_len;
+        delete[] from_dist;
+        delete[] sublen;
+        return -1;
+      }
+      for (int64_t a = seg_nt_base, z = nt - 1; a < z; a++, z--) {
+        std::swap(out_len[a], out_len[z]);
+        std::swap(dist[a], dist[z]);
+        std::swap(lit[a], lit[z]);
+      }
+      if (iter + 1 >= iters) break;
+      // refresh cost model from this segment's entropy-optimal codes
+      uint64_t lit_freqs[288] = {0};
+      uint64_t dist_freqs[30] = {0};
+      for (int64_t t = seg_nt_base; t < nt; t++) {
+        if (dist[t] == 0) {
+          lit_freqs[lit[t]]++;
+        } else {
+          lit_freqs[257 + len_symbol_of(out_len[t])]++;
+          dist_freqs[dist_symbol_of(dist[t])]++;
+        }
+      }
+      lit_freqs[256]++;
+      uint8_t lit_lens[288], dist_lens[30];
+      package_merge(lit_freqs, 288, 15, lit_lens);
+      package_merge(dist_freqs, 30, 15, dist_lens);
+      cm.from_lengths(lit_lens, dist_lens);
+    }
+  }
+
+  delete[] head;
+  delete[] prev;
+  delete[] dp;
+  delete[] from_len;
+  delete[] from_dist;
+  delete[] sublen;
+  return nt;
 }
 
 }  // extern "C"
