@@ -10,6 +10,7 @@ decode knows exact sizes up front).
 
 from __future__ import annotations
 
+import contextlib
 import dataclasses
 import zlib as _zlib
 
@@ -19,6 +20,16 @@ from . import frontend as _frontend
 from .errors import DeflateError, TruncatedError, ERR_HEADER
 from .formats import gzip_fmt, zlib_fmt
 from .tape import FrontendResult
+from .utils.config import get_config
+
+
+def _stage(name: str, nbytes: int = 0):
+    """Stage timer (populates utils.profiling.metrics when
+    Config.profile / TBZ_PROFILE=1 is set; no-op otherwise)."""
+    if get_config().profile:
+        from .utils import profiling
+        return profiling.metrics.stage(name, nbytes)
+    return contextlib.nullcontext()
 
 # Backend policy: 'auto' resolves on the host (native C++ when built) and
 # verifies checksums host-side; 'device' runs LZ77 resolution + checksum
@@ -63,8 +74,9 @@ def _decode_body(body: bytes, window: bytes, backend: str,
         try:
             from .native import loader
             if loader.available():
-                out, end_bit, fin = loader.inflate(
-                    body, window=window, size_hint=size_hint)
+                with _stage("inflate.host", len(body)):
+                    out, end_bit, fin = loader.inflate(
+                        body, window=window, size_hint=size_hint)
                 return out, end_bit, fin, None
         except ImportError:
             pass
@@ -72,9 +84,12 @@ def _decode_body(body: bytes, window: bytes, backend: str,
         res = reference.tokenize_host(body, 0, window_len=len(window))
         out = reference.resolve_host(res.tape, body, window)
         return out, res.end_bit, res.finished, None
-    res = _frontend.tokenize(body, 0, window_len=len(window))
+    with _stage("tokenize", len(body)):
+        res = _frontend.tokenize(body, 0, window_len=len(window),
+                                 frontend=get_config().frontend)
     from .ops import resolve as _r
-    out_dev, total = _r.resolve_device(res.tape, body, window)
+    with _stage("resolve.device", res.tape.total_out):
+        out_dev, total = _r.resolve_device(res.tape, body, window)
     dev_body = out_dev[_r.W:]
     return (bytes(np.asarray(dev_body[:total])), res.end_bit,
             res.finished, dev_body)
@@ -82,27 +97,31 @@ def _decode_body(body: bytes, window: bytes, backend: str,
 
 def _verify_device_or_host(kind: str, body_dev, out: bytes, prev: int):
     """Checksum via device tail kernels when output is on device."""
-    if body_dev is not None:
-        from . import checksums as cs
+    with _stage(f"verify.{kind}", len(out)):
+        if body_dev is not None:
+            from . import checksums as cs
+            if kind == "crc32":
+                return int(cs.crc32_device_tail(body_dev, len(out), prev))
+            return int(cs.adler32_device_tail(body_dev, len(out), prev))
         if kind == "crc32":
-            return int(cs.crc32_device_tail(body_dev, len(out), prev))
-        return int(cs.adler32_device_tail(body_dev, len(out), prev))
-    if kind == "crc32":
-        return _zlib.crc32(out, prev)
-    return _zlib.adler32(out, prev)
+            return _zlib.crc32(out, prev)
+        return _zlib.adler32(out, prev)
 
 
-def decompress(data, format: str = "auto", *, backend: str = "auto",
+def decompress(data, format: str = "auto", *, backend: str | None = None,
                zdict: bytes = b"", verify: bool = True,
                output_size: int | None = None,
                multi_member: bool = True, with_info: bool = False):
     """Decompress a raw deflate / zlib / gzip byte stream.
 
     backend: 'auto' | 'device' | 'host' — where LZ77 resolution and
-    checksum verification run. output_size: known-size fast path hint
-    (api.lisp:36-48 contract) — the output buffer is sized exactly.
+    checksum verification run (None reads Config.backend / TBZ_BACKEND).
+    output_size: known-size fast path hint (api.lisp:36-48 contract) —
+    the output buffer is sized exactly.
     """
     data = bytes(data)
+    if backend is None:
+        backend = get_config().backend
     fmt = detect_format(data) if format == "auto" else format
     members: list[MemberInfo] = []
     parts: list[bytes] = []
@@ -177,9 +196,12 @@ def decompress(data, format: str = "auto", *, backend: str = "auto",
     return result
 
 
-def compress(data, format: str = "zlib", level: int = 6, **kw):
+def compress(data, format: str = "zlib", level: int | None = None, **kw):
     from . import deflate_encode
-    return deflate_encode.compress(data, format=format, level=level, **kw)
+    if level is None:
+        level = get_config().level
+    with _stage("compress", len(data)):
+        return deflate_encode.compress(data, format=format, level=level, **kw)
 
 
 def decompress_file(path, format: str = "auto", **kw) -> bytes:

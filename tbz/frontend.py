@@ -19,6 +19,12 @@ from .tape import FrontendResult
 
 def tokenize(data, bit_pos: int = 0, window_len: int = 0,
              frontend: str = "auto") -> FrontendResult:
+    if frontend == "device":
+        if bit_pos:
+            raise ValueError("device frontend decodes whole streams "
+                             "(bit_pos must be 0)")
+        from .ops import tokenize_device as td
+        return td.tokenize_auto(bytes(data), window_len)
     if frontend in ("auto", "native"):
         try:
             from .native import loader
@@ -28,5 +34,7 @@ def tokenize(data, bit_pos: int = 0, window_len: int = 0,
             pass
         if frontend == "native":
             raise RuntimeError("native frontend not available")
+    elif frontend != "python":
+        raise ValueError(f"unknown frontend {frontend!r}")
     from . import reference
     return reference.tokenize_host(data, bit_pos, window_len)

@@ -523,6 +523,14 @@ def tokenize_device_impl(data32: jnp.ndarray, total_bits: jnp.ndarray,
             final["err"], final["finished"])
 
 
+def tokenize_auto(data: bytes, window_len: int = 0) -> FrontendResult:
+    """Device-frontend dispatcher (the 'device' option of
+    frontend.tokenize): currently the sequential while_loop machine;
+    routes whole static/dynamic streams through the speculative
+    multi-lane decoder as that path productionizes."""
+    return tokenize_device(data, window_len)
+
+
 def tokenize_device(data: bytes, window_len: int = 0,
                     T: int | None = None) -> FrontendResult:
     """Host wrapper with the frontend contract (raises on errors)."""
@@ -532,6 +540,12 @@ def tokenize_device(data: bytes, window_len: int = 0,
     buf = np.zeros(pad, np.uint8)
     buf[:len(data)] = np.frombuffer(data, np.uint8)
     data32 = jnp.asarray(buf.view("<u4"))
+    # ~1 token/byte covers real streams; the RFC-hard bound is 8
+    # tokens/byte (a 1-bit literal code). On overflow jump STRAIGHT to
+    # the hard bound — exactly one retry at one deterministic shape
+    # class (a x4 escalation would compile several intermediate shapes;
+    # first compiles are minutes on the axon backend).
+    hard_T = 1 << max(10, (8 * len(data) + 16).bit_length())
     if T is None:
         T = 1 << max(10, (len(data)).bit_length())
     (out_len, dist, root_val, n_tok, produced, end_bit, err,
@@ -539,7 +553,8 @@ def tokenize_device(data: bytes, window_len: int = 0,
                                       np.int32(window_len), T)
     err = int(err)
     if err == E.ERR_TAPE_OVERFLOW:
-        return tokenize_device(data, window_len, T * 4)
+        assert T < hard_T, "tape overflow at the RFC-hard token bound"
+        return tokenize_device(data, window_len, hard_T)
     if err == E.ERR_TRUNCATED:
         from ..errors import TruncatedError
         raise TruncatedError("input underrun")

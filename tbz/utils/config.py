@@ -48,8 +48,7 @@ class Config:
             v = os.environ.get(prefix + f.name.upper())
             if v is None:
                 continue
-            t = f.type if isinstance(f.type, type) else str
-            if f.type in ("int", int):
+            if f.type in ("int", int, "int | None"):
                 setattr(c, f.name, int(v))
             elif f.type in ("bool", bool):
                 setattr(c, f.name, v.lower() in ("1", "true", "yes"))
@@ -58,10 +57,15 @@ class Config:
         return c
 
 
-_default = Config()
+_default: Config | None = None
 
 
 def get_config() -> Config:
+    """Process-wide config; initialized from TBZ_* env vars on first use
+    (e.g. TBZ_BACKEND=device, TBZ_PROFILE=1, TBZ_LEVEL=9)."""
+    global _default
+    if _default is None:
+        _default = Config.from_env()
     return _default
 
 

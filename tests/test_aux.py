@@ -100,3 +100,42 @@ def test_compressor_roundtrip_through_api():
     got, info = api.decompress(payload, "gzip", with_info=True)
     assert got == data
     assert info.members[0].header.name == "stream.bin"
+
+
+def test_config_changes_pipeline_behavior():
+    """Config is WIRED: set_config(backend='device') routes one-shot
+    decode through the device resolver; profile=True populates stage
+    metrics during real pipeline calls."""
+    import zlib
+    from tbz import api
+    from tbz.utils import config as cfgmod, profiling
+
+    data = b"wired config " * 3000
+    payload = zlib.compress(data, 6)
+    old = cfgmod.get_config()
+    try:
+        cfgmod.set_config(cfgmod.Config(backend="device", profile=True))
+        profiling.metrics.reset()
+        assert api.decompress(payload, "zlib") == data
+        stages = profiling.metrics.stages
+        assert "tokenize" in stages and "resolve.device" in stages, stages
+        assert "verify.adler32" in stages
+        assert stages["resolve.device"].bytes == len(data)
+        # host routing records the host stage instead
+        cfgmod.set_config(cfgmod.Config(backend="host", profile=True))
+        profiling.metrics.reset()
+        assert api.decompress(payload, "zlib") == data
+        assert "inflate.host" in profiling.metrics.stages
+        assert profiling.metrics.report()  # non-empty human report
+    finally:
+        cfgmod.set_config(old)
+        profiling.metrics.reset()
+
+
+def test_config_env_level(monkeypatch):
+    """TBZ_* env reaches the pipeline (api.compress default level)."""
+    from tbz.utils.config import Config
+    monkeypatch.setenv("TBZ_LEVEL", "1")
+    monkeypatch.setenv("TBZ_MESH_SP", "2")
+    c = Config.from_env()
+    assert c.level == 1 and c.mesh_sp == 2

@@ -74,3 +74,22 @@ def test_truncation_parity():
         a = classify(tokenize_device, payload[:cut])[0]
         b = classify(reference.tokenize_host, payload[:cut])[0]
         assert a == b, cut
+
+
+def test_frontend_device_dispatch():
+    """frontend.tokenize(frontend='device') actually routes to the
+    device tokenizer (round-1 review: the option was documented but
+    fell through to the python oracle)."""
+    import zlib
+    from tbz import frontend, reference
+    data = b"device dispatch check " * 50
+    payload = zlib.compress(data, 9)[2:-4]
+    res_dev = frontend.tokenize(payload, frontend="device")
+    res_py = reference.tokenize_host(payload, 0)
+    assert res_dev.finished and res_dev.end_bit == res_py.end_bit
+    assert (res_dev.tape.out_len == res_py.tape.out_len).all()
+    assert (res_dev.tape.dist == res_py.tape.dist).all()
+    assert (res_dev.tape.root_val == res_py.tape.root_val).all()
+    import pytest
+    with pytest.raises(ValueError):
+        frontend.tokenize(payload, frontend="nonsense")
