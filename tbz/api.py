@@ -87,10 +87,18 @@ def _decode_body(body: bytes, window: bytes, backend: str,
     with _stage("tokenize", len(body)):
         res = _frontend.tokenize(body, 0, window_len=len(window),
                                  frontend=get_config().frontend)
-    from .ops import resolve as _r
     with _stage("resolve.device", res.tape.total_out):
-        out_dev, total = _r.resolve_device(res.tape, body, window)
-    dev_body = out_dev[_r.W:]
+        try:
+            # span resolver: the row-gather formulation (ops/resolve_spans)
+            from .ops import resolve_spans as _rs
+            rows, total = _rs.resolve_spans_device(res.tape, body, window)
+            dev_body = rows.reshape(-1)
+        except DeflateError as e:
+            if e.code != 12:  # ERR_PLAN_DEPTH: pathological genealogy
+                raise
+            from .ops import resolve as _r
+            out_dev, total = _r.resolve_device(res.tape, body, window)
+            dev_body = out_dev[_r.W:]
     return (bytes(np.asarray(dev_body[:total])), res.end_bit,
             res.finished, dev_body)
 

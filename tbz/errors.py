@@ -39,6 +39,7 @@ ERR_TOO_MANY_SYMBOLS = 8      # HLIT > 286 or HDIST > 30
 ERR_CHECKSUM = 9
 ERR_HEADER = 10               # bad zlib/gzip header
 ERR_TAPE_OVERFLOW = 11        # token tape capacity exceeded (internal)
+ERR_PLAN_DEPTH = 12           # span-plan dependency depth cap (fallback)
 
 _MESSAGES = {
     ERR_BAD_BLOCK_TYPE: "invalid block type 3",
@@ -52,6 +53,7 @@ _MESSAGES = {
     ERR_CHECKSUM: "checksum mismatch",
     ERR_HEADER: "invalid stream header",
     ERR_TAPE_OVERFLOW: "internal: token tape overflow",
+    ERR_PLAN_DEPTH: "internal: span plan dependency depth cap",
 }
 
 

@@ -13,6 +13,7 @@
 #include <cstdlib>
 #include <cstring>
 #include <utility>
+#include <vector>
 
 namespace {
 
@@ -28,6 +29,7 @@ enum {
   ERR_BAD_CL_REPEAT = 7,
   ERR_TOO_MANY_SYMBOLS = 8,
   ERR_TAPE_OVERFLOW = 11,
+  ERR_PLAN_DEPTH = 12,
 };
 
 // ---- packed table entries (mirror ../constants.py) ------------------------
@@ -1183,6 +1185,375 @@ overflow:
 }
 
 }  // extern "C"
+
+// ---- device span planner --------------------------------------------------
+// Host-side planning pass for the TPU span resolver (ops/resolve_spans.py).
+// Rewrites a token tape into chunked, generation-sorted, fixed-size span
+// batches that the device kernel executes with ONE dynamic row fetch per
+// span (the only fast dynamic-indexing primitive on the target: row
+// gather; element gather is ~100x slower — see memory/ROADMAP):
+//
+//  - overlapping copies (dist < len) are decomposed into doubling pieces
+//    with dist' >= len', so every device span is a plain contiguous copy;
+//  - literal and stored bytes are packed into a side buffer (litbuf) in
+//    output order, then emitted as gen-0 spans sourcing it — the device
+//    kernel has NO special cases;
+//  - every span gets a generation: 1 + max generation over its source
+//    bytes. Within a chunk, spans sorted by generation are mutually
+//    independent inside one batch, so the whole batch vectorizes;
+//  - output is chunked at 64KB with the 32KB window carried between
+//    chunks by the kernel; spans never cross chunk boundaries and their
+//    sources stay within [chunk_start - 32KB, chunk_end).
+//
+// Span coordinates are chunk-local: [0,32K) window, [32K,96K) chunk
+// output, [96K, 96K+66K) the chunk's litbuf slice.
+
+namespace {
+constexpr int kChunkOut = 65536;       // output bytes per device chunk
+constexpr int kSpanMax = 255;          // max span length (fits 512B fetch)
+constexpr int kLitLocalBase = 98304;   // 32K window + 64K chunk
+}  // namespace
+
+struct SpanPlan {
+  int64_t n_tokens_padded;
+  int64_t n_batches;
+  int64_t n_chunks;
+  int64_t lit_bytes;
+  int64_t total_out;
+  int32_t max_gen;
+  int32_t err;
+};
+
+extern "C" int32_t tbz_plan_spans(
+    const int32_t* out_len, const int32_t* dist, const int32_t* root_val,
+    int64_t n_tokens, const uint8_t* input, int64_t input_size,
+    int64_t window_len, int64_t batch_size,
+    int32_t* sp_srclen, int32_t* sp_dst, int64_t tok_cap,
+    int32_t* b_chunk, int32_t* b_first, int32_t* b_litrow, int64_t batch_cap,
+    uint8_t* litbuf, int64_t lit_cap, SpanPlan* plan) {
+  struct Span {
+    int64_t src;  // global output coord (negative = window/dict), or
+                  // litbuf offset when lit
+    int64_t dst;
+    int32_t len;
+    int32_t gen;
+    bool lit;
+  };
+  // --- phase 1: expand tape into non-overlapping spans + litbuf -------------
+  std::vector<Span> spans;
+  spans.reserve(size_t(n_tokens) + 1024);
+  int64_t total = 0;
+  for (int64_t i = 0; i < n_tokens; i++) total += out_len[i];
+  uint16_t* gen_byte = total ? new uint16_t[total] : nullptr;
+  int64_t p = 0;
+  int64_t lit_used = 0;
+  int32_t max_gen = 0;
+  int32_t err = OK;
+  (void)max_gen;
+
+  auto emit_lit_bytes = [&](const uint8_t* data, int64_t n) {
+    // pack bytes; merge with a preceding adjacent literal span; split at
+    // 255 and chunk boundaries
+    while (n > 0 && err == OK) {
+      if (lit_used + 1 > lit_cap) {
+        err = ERR_TAPE_OVERFLOW;
+        return;
+      }
+      int64_t room = kChunkOut - (p % kChunkOut);
+      if (!spans.empty()) {
+        Span& last = spans.back();
+        if (last.lit && last.dst + last.len == p &&
+            last.src + last.len == lit_used && last.len < kSpanMax &&
+            room > 0 && (p % kChunkOut) != 0) {
+          int64_t grow = kSpanMax - last.len;
+          if (grow > room) grow = room;
+          if (grow > n) grow = n;
+          if (lit_used + grow > lit_cap) {
+            err = ERR_TAPE_OVERFLOW;
+            return;
+          }
+          std::memcpy(litbuf + lit_used, data, size_t(grow));
+          last.len += int32_t(grow);
+          lit_used += grow;
+          p += grow;
+          data += grow;
+          n -= grow;
+          continue;
+        }
+      }
+      int32_t t = int32_t(n < kSpanMax ? n : kSpanMax);
+      if (t > room) t = int32_t(room);
+      if (lit_used + t > lit_cap) {
+        err = ERR_TAPE_OVERFLOW;
+        return;
+      }
+      std::memcpy(litbuf + lit_used, data, size_t(t));
+      spans.push_back({lit_used, p, t, 0, true});
+      lit_used += t;
+      p += t;
+      data += t;
+      n -= t;
+    }
+  };
+
+  for (int64_t i = 0; i < n_tokens && err == OK; i++) {
+    int32_t l = out_len[i];
+    int32_t d = dist[i];
+    if (d == 0) {
+      if (root_val[i] & STORED_FLAG) {
+        int64_t off = root_val[i] & (STORED_FLAG - 1);
+        if (off + l > input_size) {
+          err = ERR_TRUNCATED;
+          break;
+        }
+        emit_lit_bytes(input + off, l);
+      } else {
+        uint8_t b = uint8_t(root_val[i]);
+        // single literal byte
+        emit_lit_bytes(&b, 1);
+      }
+      continue;
+    }
+    // match: doubling decomposition to non-overlap, 255-cap, chunk split
+    int64_t c = 0;
+    while (c < l && err == OK) {
+      int64_t D = int64_t(d) * (c / d + 1);  // largest multiple of d <= c+d
+      int64_t t = D < kSpanMax ? D : kSpanMax;
+      if (t > l - c) t = l - c;
+      int64_t room = kChunkOut - ((p + c) % kChunkOut);
+      if (t > room) t = room;
+      int64_t dst = p + c;
+      int64_t src = dst - D;
+      spans.push_back({src, dst, int32_t(t), 0, false});
+      c += t;
+    }
+    p += l;
+  }
+  if (err != OK) {
+    delete[] gen_byte;
+    plan->err = err;
+    return err;
+  }
+
+  // --- phase 1b: window-limited source redirect -----------------------------
+  // Every span is a plain copy, so a span whose source range lies wholly
+  // inside an earlier span T can source T's source instead (shift by
+  // T's distance) — legal as long as the new source stays within the
+  // device fetch reach [chunk_start - 32KB, ...). Sources that straddle
+  // a span boundary are SPLIT (budgeted) so the pieces keep flattening.
+  // This collapses copy genealogies (measured: median depth ~200 on
+  // text without it) to a few generations, keeping device batches both
+  // generation-pure and full. Memoized per original span: its final
+  // flattened shift, applied in O(1) when a later span lands inside it.
+  {
+    int64_t ns0 = int64_t(spans.size());
+    auto find_span = [&](int64_t pos) -> int64_t {
+      int64_t lo = 0, hi = ns0 - 1, ans = -1;
+      while (lo <= hi) {
+        int64_t mid = (lo + hi) >> 1;
+        if (spans[size_t(mid)].dst <= pos) {
+          ans = mid;
+          lo = mid + 1;
+        } else {
+          hi = mid - 1;
+        }
+      }
+      return ans;
+    };
+    std::vector<int64_t> memo_src(static_cast<size_t>(ns0), 0);   // flattened source of span i
+    std::vector<uint8_t> memo_ok(size_t(ns0), 0);  // valid (span not split)
+    std::vector<Span> flat;
+    flat.reserve(spans.size() + spans.size() / 2);
+    int64_t split_budget = int64_t(spans.size()) * 3 + 1024;
+    std::vector<Span> pend;
+
+    for (int64_t i = 0; i < ns0; i++) {
+      const Span& s0 = spans[size_t(i)];
+      if (s0.lit) {
+        memo_ok[size_t(i)] = 0;
+        flat.push_back(s0);
+        continue;
+      }
+      int64_t reach_lo = (s0.dst / kChunkOut) * kChunkOut - 32768;
+      Span cur = s0;
+      bool was_split = false;
+      pend.clear();
+      for (;;) {
+        for (int hops = 0; hops < 64; hops++) {
+          if (cur.src < 0) break;  // preset-dictionary window
+          int64_t ti = find_span(cur.src);
+          if (ti < 0) break;
+          const Span& t = spans[size_t(ti)];
+          if (t.lit) break;  // source is gen-0 lit-backed output
+          int64_t t_end = t.dst + t.len;
+          if (cur.src + cur.len <= t_end) {
+            if (memo_ok[size_t(ti)]) {
+              int64_t cand = memo_src[size_t(ti)] + (cur.src - t.dst);
+              if (cand >= reach_lo) {
+                cur.src = cand;
+                break;  // memo target is already flat; T's stop reason
+                        // (lit/window/reach) applies to us too
+              }
+            }
+            int64_t shift = t.dst - t.src;
+            if (cur.src - shift < reach_lo) break;
+            cur.src -= shift;
+          } else if (split_budget > 0) {
+            int64_t l1 = t_end - cur.src;
+            pend.push_back({cur.src + l1, cur.dst + l1,
+                            int32_t(cur.len - l1), 0, false});
+            cur.len = int32_t(l1);
+            split_budget--;
+            was_split = true;
+          } else {
+            break;
+          }
+        }
+        flat.push_back(cur);
+        if (pend.empty()) break;
+        cur = pend.back();
+        pend.pop_back();
+      }
+      if (!was_split) {
+        memo_src[size_t(i)] = flat.back().src;
+        memo_ok[size_t(i)] = 1;
+      }
+    }
+    spans.swap(flat);
+  }
+
+  // --- phase 1c: generations over redirected sources ------------------------
+  // Generations are CHUNK-LOCAL: the device resolves chunks in order and
+  // carries the 32KB window as already-resolved bytes, so source bytes
+  // before the span's own chunk contribute depth 0 — only within-chunk
+  // dependency depth forces batch ordering.
+  if (gen_byte) std::memset(gen_byte, 0, size_t(total) * 2);
+  for (auto& s : spans) {
+    if (s.lit) continue;
+    int64_t chunk_start = (s.dst / kChunkOut) * kChunkOut;
+    int64_t k0 = s.src < chunk_start ? chunk_start - s.src : 0;
+    int32_t g = 0;
+    for (int64_t k = k0; k < s.len; k++) {
+      int32_t gb = gen_byte[s.src + k];
+      if (gb > g) g = gb;
+    }
+    g += 1;
+    s.gen = g;
+    if (g > max_gen) max_gen = g;
+    if (g > 60000) {
+      err = ERR_PLAN_DEPTH;  // pathological depth; caller falls back
+      break;
+    }
+    for (int64_t k = 0; k < s.len; k++) gen_byte[s.dst + k] = uint16_t(g);
+  }
+  delete[] gen_byte;
+  if (err != OK) {
+    plan->err = err;
+    return err;
+  }
+
+  // --- phase 2: per chunk, stable counting sort by generation, batch ------
+  int64_t n_chunks = total ? (total + kChunkOut - 1) / kChunkOut : 1;
+  int64_t ns = spans.size();
+  int64_t out_i = 0;   // next padded-token slot
+  int64_t nb = 0;      // batches emitted
+  int64_t si = 0;      // span cursor (spans are in dst order)
+  int64_t lit_cursor = 0;  // first litbuf offset not yet claimed
+  std::vector<int32_t> order;
+  for (int64_t ch = 0; ch < n_chunks; ch++) {
+    int64_t lo = si;
+    int64_t chunk_end = (ch + 1) * kChunkOut;
+    while (si < ns && spans[si].dst < chunk_end) si++;
+    int64_t cnt = si - lo;
+    // chunk's litbuf base row (lit spans in [lo,si) are contiguous)
+    int64_t lit_lo = lit_cursor;
+    for (int64_t k = lo; k < si; k++)
+      if (spans[k].lit) {
+        lit_lo = spans[k].src;
+        break;
+      }
+    int64_t lit_row_lo = lit_lo >> 7;
+    for (int64_t k = lo; k < si; k++)
+      if (spans[k].lit) lit_cursor = spans[k].src + spans[k].len;
+    // counting sort by gen (stable)
+    int32_t gmax = 0;
+    for (int64_t k = lo; k < si; k++)
+      if (spans[k].gen > gmax) gmax = spans[k].gen;
+    std::vector<int32_t> cnts(size_t(gmax) + 2, 0);
+    for (int64_t k = lo; k < si; k++) cnts[spans[k].gen]++;
+    std::vector<int32_t> offs(size_t(gmax) + 2, 0);
+    for (int32_t g = 1; g <= gmax + 1; g++) offs[g] = offs[g - 1] + cnts[g - 1];
+    order.assign(size_t(cnt), 0);
+    {
+      std::vector<int32_t> cursor(offs.begin(), offs.end());
+      for (int64_t k = lo; k < si; k++)
+        order[size_t(cursor[spans[k].gen]++)] = int32_t(k - lo);
+    }
+    // emit batches: per gen group, chop into batch_size with padding
+    int64_t chunk_base_local = ch * kChunkOut - 32768;  // local 0 in global
+    int64_t g_start = 0;
+    bool first_batch_of_chunk = true;
+    for (int32_t g = 0; g <= gmax; g++) {
+      int64_t g_cnt = cnts[g];
+      int64_t gi = 0;
+      while (gi < g_cnt) {
+        int64_t take = g_cnt - gi < batch_size ? g_cnt - gi : batch_size;
+        if (nb >= batch_cap || out_i + batch_size > tok_cap) {
+          plan->err = ERR_TAPE_OVERFLOW;
+          return ERR_TAPE_OVERFLOW;
+        }
+        b_chunk[nb] = int32_t(ch);
+        b_first[nb] = first_batch_of_chunk ? 1 : 0;
+        b_litrow[nb] = int32_t(lit_row_lo);
+        first_batch_of_chunk = false;
+        for (int64_t k = 0; k < batch_size; k++) {
+          if (k < take) {
+            const Span& s = spans[size_t(lo + order[size_t(g_start + gi + k)])];
+            int64_t src_local =
+                s.lit ? kLitLocalBase + (s.src - (lit_row_lo << 7))
+                      : s.src - chunk_base_local;
+            int64_t dst_local = s.dst - chunk_base_local;
+            sp_srclen[out_i + k] =
+                int32_t(src_local) | (int32_t(s.len) << 18);
+            sp_dst[out_i + k] = int32_t(dst_local);
+          } else {
+            sp_srclen[out_i + k] = 0;  // len 0 = padding
+            sp_dst[out_i + k] = 32768;
+          }
+        }
+        out_i += batch_size;
+        nb++;
+        gi += take;
+      }
+      g_start += g_cnt;
+    }
+    if (first_batch_of_chunk) {
+      // chunk with no spans (possible only when total==0); emit a
+      // padding batch so the scan still flushes it
+      if (nb >= batch_cap || out_i + batch_size > tok_cap) {
+        plan->err = ERR_TAPE_OVERFLOW;
+        return ERR_TAPE_OVERFLOW;
+      }
+      b_chunk[nb] = int32_t(ch);
+      b_first[nb] = 1;
+      b_litrow[nb] = 0;
+      for (int64_t k = 0; k < batch_size; k++) {
+        sp_srclen[out_i + k] = 0;
+        sp_dst[out_i + k] = 32768;
+      }
+      out_i += batch_size;
+      nb++;
+    }
+  }
+  plan->n_tokens_padded = out_i;
+  plan->n_batches = nb;
+  plan->n_chunks = n_chunks;
+  plan->lit_bytes = lit_used;
+  plan->total_out = total;
+  plan->max_gen = max_gen;
+  plan->err = OK;
+  return OK;
+}
 
 // ---- near-optimal parse ---------------------------------------------------
 // Cost-model shortest-path parse (the zopfli/libdeflate family of

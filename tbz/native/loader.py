@@ -27,6 +27,37 @@ _lock = threading.Lock()
 _build_failed = False
 
 
+class _SpanPlanC(ctypes.Structure):
+    _fields_ = [
+        ("n_tokens_padded", ctypes.c_int64),
+        ("n_batches", ctypes.c_int64),
+        ("n_chunks", ctypes.c_int64),
+        ("lit_bytes", ctypes.c_int64),
+        ("total_out", ctypes.c_int64),
+        ("max_gen", ctypes.c_int32),
+        ("err", ctypes.c_int32),
+    ]
+
+
+class SpanPlan:
+    """Host-side device plan (see frontend.cc tbz_plan_spans)."""
+
+    def __init__(self, srclen, dst, b_chunk, b_first, b_litrow, litbuf,
+                 n_batches, n_chunks, lit_bytes, total_out, max_gen, batch):
+        self.srclen = srclen
+        self.dst = dst
+        self.b_chunk = b_chunk
+        self.b_first = b_first
+        self.b_litrow = b_litrow
+        self.litbuf = litbuf
+        self.n_batches = n_batches
+        self.n_chunks = n_chunks
+        self.lit_bytes = lit_bytes
+        self.total_out = total_out
+        self.max_gen = max_gen
+        self.batch = batch
+
+
 class _TokResult(ctypes.Structure):
     _fields_ = [
         ("n_tokens", ctypes.c_int64),
@@ -119,6 +150,17 @@ def _load():
             ctypes.c_char_p, ctypes.c_int64, ctypes.c_int32,
             ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int32),
             ctypes.POINTER(ctypes.c_int32), ctypes.c_int64]
+        lib.tbz_plan_spans.restype = ctypes.c_int32
+        lib.tbz_plan_spans.argtypes = [
+            ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int32),
+            ctypes.POINTER(ctypes.c_int32), ctypes.c_int64,
+            ctypes.c_char_p, ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int32),
+            ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int32),
+            ctypes.POINTER(ctypes.c_int32), ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_uint8), ctypes.c_int64,
+            ctypes.POINTER(_SpanPlanC)]
         lib.tbz_match_optimal.restype = ctypes.c_int64
         lib.tbz_match_optimal.argtypes = [
             ctypes.c_char_p, ctypes.c_int64, ctypes.c_int32, ctypes.c_int32,
@@ -202,6 +244,51 @@ def tokenize_blocks(data, bit_pos: int = 0, window_len: int = 0,
         return FrontendResult(tape=tape, blocks=[],
                               end_bit=int(res.end_bit),
                               finished=bool(res.finished))
+
+
+def plan_spans(tape, input_bytes, window_len: int = 0,
+               batch: int = 1024) -> SpanPlan:
+    """Plan the device span-resolve for a token tape: non-overlap
+    decomposition, literal/stored packing, generation sort, chunk/batch
+    layout (frontend.cc tbz_plan_spans)."""
+    lib = _load()
+    dptr, dlen, _keep = _buf(input_bytes)
+    n = len(tape)
+    ol = np.ascontiguousarray(tape.out_len, np.int32)
+    di = np.ascontiguousarray(tape.dist, np.int32)
+    rv = np.ascontiguousarray(tape.root_val, np.int32)
+    total = int(tape.total_out)
+    tok_cap = 2 * n + total // 64 + 64 * batch
+    while True:
+        batch_cap = tok_cap // batch + total // 65536 + 16
+        tok_cap = batch_cap * batch
+        srclen = np.empty(tok_cap, np.int32)
+        dst = np.empty(tok_cap, np.int32)
+        b_chunk = np.empty(batch_cap, np.int32)
+        b_first = np.empty(batch_cap, np.int32)
+        b_litrow = np.empty(batch_cap, np.int32)
+        litbuf = np.empty(total + 1024, np.uint8)
+        res = _SpanPlanC()
+        err = lib.tbz_plan_spans(
+            _i32p(ol), _i32p(di), _i32p(rv), n, dptr, dlen,
+            window_len, batch,
+            _i32p(srclen), _i32p(dst), tok_cap,
+            _i32p(b_chunk), _i32p(b_first), _i32p(b_litrow), batch_cap,
+            litbuf.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+            len(litbuf), ctypes.byref(res))
+        if err == ERR_TAPE_OVERFLOW:
+            tok_cap *= 2
+            continue
+        raise_for_code(err)
+        nb = int(res.n_batches)
+        nt = int(res.n_tokens_padded)
+        return SpanPlan(
+            srclen=srclen[:nt], dst=dst[:nt],
+            b_chunk=b_chunk[:nb], b_first=b_first[:nb],
+            b_litrow=b_litrow[:nb], litbuf=litbuf,
+            n_batches=nb, n_chunks=int(res.n_chunks),
+            lit_bytes=int(res.lit_bytes), total_out=int(res.total_out),
+            max_gen=int(res.max_gen), batch=batch)
 
 
 def new_stream_state():

@@ -1,0 +1,182 @@
+"""Device LZ77 span resolver — the TPU-native fast path.
+
+Design (round 2, replacing the pointer-doubling gather resolver): the
+only fast dynamic-indexing primitive on the target hardware is the 2D
+ROW gather (`table[row_idx]`, lowered to DMA row fetches at ~90-400M
+rows/s); element gather and take_along_axis are ~100x slower (measured —
+see docs/ROADMAP.md). So resolution is reformulated as one row fetch per
+span:
+
+  - the C++ planner (frontend.cc tbz_plan_spans) rewrites the token tape
+    into generation-sorted batches of plain contiguous copies: overlap
+    copies become doubling pieces, literal/stored bytes are packed into
+    a side buffer and become gen-0 spans sourcing it;
+  - output is processed in 64KB chunks; the chunk-local byte space
+    [32KB window | 64KB chunk | 66KB literal slice] lives as a
+    (1288, 128) uint8 row table — small enough that its row gathers and
+    scatters run at VMEM speeds;
+  - per span: ONE 512-byte row fetch from an overlapping (stride-256)
+    unit view covers any source span (len <= 255 by the planner), a
+    9-stage per-row barrel shift aligns it to the destination offset
+    (uniform shift within a row — vectorized across the whole batch),
+    and three 128B-row scatter-adds place it (span bytes are disjoint,
+    so uint8 adds never collide);
+  - batches are generation-pure, so every span in a batch only reads
+    bytes already resolved by earlier batches — the whole batch is one
+    vectorized step of a lax.scan, no data-dependent control flow.
+
+Semantics matched: deflate.lisp:244-359 (overlap/offset<8 copies via the
+doubling decomposition), :121-137 (32KB window carry across chunks —
+here carried between scan steps).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+W_ROWS = 256          # 32KB window
+CHUNK_ROWS = 512      # 64KB chunk
+LIT_ROWS = 520        # chunk literal slice (64KB + alignment slack)
+LOCAL_ROWS = W_ROWS + CHUNK_ROWS + LIT_ROWS  # 1288
+CHUNK_OUT = CHUNK_ROWS * 128
+
+
+@functools.partial(jax.jit, static_argnames=("n_rows_out",))
+def _resolve_spans_impl(srclen, dst, b_first, b_chunk, b_litrow,
+                        litrows, window_rows, n_rows_out: int):
+    """srclen/dst: (NB, B) int32 packed spans; b_*: (NB,) int32 batch
+    metadata; litrows: (LR, 128) uint8 (LR >= max litrow + LIT_ROWS);
+    window_rows: (W_ROWS, 128) uint8 preset window (zeros if none).
+    Returns (n_rows_out, 128) uint8 resolved output rows."""
+    B = srclen.shape[1]
+    out0 = jnp.zeros((n_rows_out, 128), jnp.uint8)
+    local0 = jnp.zeros((LOCAL_ROWS, 128), jnp.uint8).at[:W_ROWS].set(
+        window_rows)
+    lane384 = jax.lax.broadcasted_iota(jnp.int32, (1, 384), 1)
+
+    def step(carry, xs):
+        out, local = carry
+        sl, ds, first, ch, litrow = xs
+
+        # chunk transition: rebuild the small local table (the big `out`
+        # carry is NEVER under a cond/select — that would copy it every
+        # step; it only receives cheap 64KB slice-writes below)
+        def transition(local):
+            # window for this chunk: last 32KB of the previous chunk, or
+            # the preset window when entering chunk 0
+            win = jnp.where(ch > 0,
+                            local[CHUNK_ROWS:W_ROWS + CHUNK_ROWS],
+                            local[:W_ROWS])
+            lit = jax.lax.dynamic_slice(litrows, (litrow, 0),
+                                        (LIT_ROWS, 128))
+            return (jnp.zeros_like(local)
+                    .at[:W_ROWS].set(win)
+                    .at[W_ROWS + CHUNK_ROWS:].set(lit))
+
+        local = jax.lax.cond(first == 1, transition, lambda l: l, local)
+
+        src = sl & 0x3FFFF
+        ln = jax.lax.shift_right_logical(sl, 18) & 0xFF
+
+        # source frame: two 256B row fetches from the plain table cover
+        # [256u, 256u+512) >= any span (len<=255, offset<256)
+        view2 = local.reshape(LOCAL_ROWS // 2, 256)
+        u = src >> 8
+        frame = jnp.concatenate(
+            [view2[u], view2[jnp.minimum(u + 1, LOCAL_ROWS // 2 - 1)]],
+            axis=1)                                            # (B, 512)
+
+        # barrel-align: span sits at lane a in frame; move to lane o.
+        # Output lanes [0, 384); needed input lanes [0, 384+255] — pad
+        # the frame left by 128 (shift range) and right to 640.
+        a = src & 255
+        o = ds & 127
+        m = a - o + 128                      # shift-left amount in (0, 384)
+        x = jnp.concatenate(
+            [jnp.zeros((B, 128), jnp.uint8), frame], axis=1)   # (B, 640)
+        for k in range(9):
+            s = 1 << k
+            rolled = jnp.concatenate(
+                [x[:, s:], jnp.zeros((B, s), jnp.uint8)], axis=1)
+            bit = ((m >> k) & 1).astype(bool)[:, None]
+            x = jnp.where(bit, rolled, x)
+        al = x[:, :384]                                        # (B, 384)
+        mask = (lane384 >= o[:, None]) & (lane384 < (o + ln)[:, None])
+        al = jnp.where(mask, al, jnp.uint8(0))
+
+        # place: three 128B pieces at plain local rows (dst>>7)+{0,1,2},
+        # one combined scatter-add (span bytes are disjoint; no carries)
+        r0 = ds >> 7
+        rows = jnp.concatenate([r0, r0 + 1, r0 + 2])
+        pieces = jnp.concatenate(
+            [al[:, :128], al[:, 128:256], al[:, 256:384]])
+        local = local.at[rows].add(pieces)
+        # publish the chunk's current state every batch (64KB write; the
+        # chunk's LAST batch leaves the final bytes in place)
+        out = jax.lax.dynamic_update_slice(
+            out, local[W_ROWS:W_ROWS + CHUNK_ROWS], (ch * CHUNK_ROWS, 0))
+        return (out, local), None
+
+    (out, local), _ = jax.lax.scan(
+        step, (out0, local0), (srclen, dst, b_first, b_chunk, b_litrow))
+    return out
+
+
+def _pow2(n: int, floor: int = 1) -> int:
+    n = max(n, floor)
+    return 1 << (n - 1).bit_length()
+
+
+def resolve_spans_device(tape, input_bytes, window: bytes = b"",
+                         batch: int = 1024):
+    """Plan on host (C++), resolve on device. Returns (device uint8 rows
+    flattened view promise, total_out) — callers slice [:total_out]."""
+    from ..native import loader
+    plan = loader.plan_spans(tape, input_bytes, window_len=len(window),
+                             batch=batch)
+    return _run_plan(plan, window), plan.total_out
+
+
+def _run_plan(plan, window: bytes):
+    NB = max(plan.n_batches, 1)
+    NB_pad = _pow2(NB)
+    B = plan.batch
+    srclen = np.zeros((NB_pad, B), np.int32)
+    dst = np.full((NB_pad, B), 32768, np.int32)
+    srclen[:NB] = plan.srclen.reshape(NB, B)
+    dst[:NB] = plan.dst.reshape(NB, B)
+    b_first = np.zeros(NB_pad, np.int32)
+    b_chunk = np.zeros(NB_pad, np.int32)
+    b_litrow = np.zeros(NB_pad, np.int32)
+    b_first[:NB] = plan.b_first
+    b_chunk[:NB] = plan.b_chunk
+    b_litrow[:NB] = plan.b_litrow
+    b_chunk[NB:] = plan.b_chunk[NB - 1] if NB else 0
+
+    lit_rows_used = -(-max(plan.lit_bytes, 1) // 128)
+    LR = _pow2(lit_rows_used + LIT_ROWS + 1, floor=LIT_ROWS + 8)
+    litrows = np.zeros((LR, 128), np.uint8)
+    flat = litrows.reshape(-1)
+    flat[:plan.lit_bytes] = plan.litbuf[:plan.lit_bytes]
+
+    wrows = np.zeros((W_ROWS, 128), np.uint8)
+    if window:
+        w = np.frombuffer(bytes(window)[-32768:], np.uint8)
+        wrows.reshape(-1)[32768 - len(w):] = w
+
+    n_rows_out = _pow2(int(plan.n_chunks)) * CHUNK_ROWS
+    out_rows = _resolve_spans_impl(
+        jnp.asarray(srclen), jnp.asarray(dst), jnp.asarray(b_first),
+        jnp.asarray(b_chunk), jnp.asarray(b_litrow), jnp.asarray(litrows),
+        jnp.asarray(wrows), n_rows_out)
+    return out_rows
+
+
+def resolve_spans_bytes(tape, input_bytes, window: bytes = b"") -> bytes:
+    """Convenience: resolve and fetch to host bytes."""
+    rows, total = resolve_spans_device(tape, input_bytes, window)
+    return bytes(np.asarray(rows).reshape(-1)[:total])
