@@ -25,15 +25,16 @@ __version__ = "0.1.0"
 
 __all__ = [
     "DeflateError", "ChecksumError", "TruncatedError",
-    "decompress", "compress", "decompress_file", "decompress_stream",
+    "decompress", "compress", "decompress_into", "decompress_file",
+    "decompress_stream",
     "Decompressor", "Compressor",
 ]
 
 
 def __getattr__(name):
     # Lazy so that `import tbz` works without jax for host-only tools.
-    if name in ("decompress", "compress", "decompress_file",
-                "decompress_stream"):
+    if name in ("decompress", "compress", "decompress_into",
+                "decompress_file", "decompress_stream"):
         from . import api
         return getattr(api, name)
     if name in ("Decompressor", "Compressor"):

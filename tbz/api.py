@@ -204,6 +204,72 @@ def decompress(data, format: str = "auto", *, backend: str | None = None,
     return result
 
 
+def decompress_into(data, out, format: str = "auto", *,
+                    zdict: bytes = b"", verify: bool = True) -> int:
+    """Decompress into a caller-provided writable buffer (bytearray,
+    writable memoryview, or uint8 ndarray), zero-copy on the native
+    path — the reference's known-size fast path (api.lisp:36-48).
+    Returns the number of bytes written. Raises DeflateError if the
+    buffer is too small. Bytes past the written length are unspecified
+    (the fast copy loop keeps word-granular slack inside the buffer)."""
+    data = bytes(data)
+    fmt = detect_format(data) if format == "auto" else format
+    mv = memoryview(out)
+    if mv.readonly:
+        raise TypeError("output buffer must be writable")
+    mv = mv.cast("B")
+
+    try:
+        from .native import loader
+        native = loader.available()
+    except ImportError:
+        native = False
+    if not native:
+        got = decompress(data, fmt, backend="host", zdict=zdict,
+                         verify=verify)
+        if len(got) > len(mv):
+            raise DeflateError("output buffer too small", 11)
+        mv[:len(got)] = got
+        return len(got)
+
+    from .formats import gzip_fmt as _g, zlib_fmt as _z
+    pos = 0       # input offset
+    wrote = 0     # output offset
+    if fmt == "raw":
+        n, end_bit, fin = loader.inflate_into(data, mv,
+                                              window=zdict[-32768:])
+        if not fin:
+            raise TruncatedError("deflate stream has no final block")
+        return n
+    if fmt == "zlib":
+        hdr = _z.parse_header(data, zdict)
+        body = data[hdr.data_offset:]
+        window = zdict[-32768:] if hdr.fdict else b""
+        n, end_bit, fin = loader.inflate_into(body, mv, window=window)
+        if not fin:
+            raise TruncatedError("zlib deflate body truncated")
+        if verify:
+            stored = _z.read_trailer(data, hdr.data_offset
+                                     + (end_bit + 7) // 8)
+            _z.check_adler(stored, _zlib.adler32(mv[:n]))
+        return n
+    # gzip, possibly multi-member
+    while True:
+        hdr = _g.parse_header(data, pos)
+        body = data[hdr.data_offset:]
+        n, end_bit, fin = loader.inflate_into(body, mv[wrote:])
+        if not fin:
+            raise TruncatedError("gzip deflate body truncated")
+        end = hdr.data_offset + (end_bit + 7) // 8
+        crc, isize = _g.read_trailer(data, end)
+        if verify:
+            _g.check_trailer(crc, _zlib.crc32(mv[wrote:wrote + n]), isize, n)
+        wrote += n
+        pos = end + 8
+        if pos + 2 > len(data) or data[pos:pos + 2] != b"\x1f\x8b":
+            return wrote
+
+
 def compress(data, format: str = "zlib", level: int | None = None, **kw):
     from . import deflate_encode
     if level is None:

@@ -326,7 +326,8 @@ static int32_t inflate_core(const uint8_t* data, int64_t size,
                             int64_t start_bit, const uint8_t* window,
                             int64_t window_len, uint8_t** out_ptr,
                             int64_t* out_cap_ptr, int64_t* out_len,
-                            int64_t* end_bit, int32_t* finished);
+                            int64_t* end_bit, int32_t* finished,
+                            int32_t fixed_buf);
 
 // Fused one-shot inflate; allocates the output (caller frees via
 // tbz_free). Returns an error code; partial output remains valid.
@@ -339,9 +340,23 @@ int32_t tbz_inflate_alloc(const uint8_t* data, int64_t size,
   uint8_t* out = (uint8_t*)malloc(cap);
   if (!out) return ERR_TAPE_OVERFLOW;
   int32_t err = inflate_core(data, size, start_bit, window, window_len,
-                             &out, &cap, out_len, end_bit, finished);
+                             &out, &cap, out_len, end_bit, finished, 0);
   *out_ptr = out;
   return err;
+}
+
+// Known-size fast path: inflate INTO a caller-provided buffer, zero
+// copies (api.lisp:36-48 contract). The buffer is never grown; needing
+// more than out_cap bytes is ERR_TAPE_OVERFLOW. NOTE: the decoder
+// keeps 16 bytes of word-copy slack, so out_cap must be the real
+// buffer size and the caller passes capacity = len(buffer).
+int32_t tbz_inflate_into(const uint8_t* data, int64_t size,
+                         int64_t start_bit, const uint8_t* window,
+                         int64_t window_len, uint8_t* out, int64_t out_cap,
+                         int64_t* out_len, int64_t* end_bit,
+                         int32_t* finished) {
+  return inflate_core(data, size, start_bit, window, window_len, &out,
+                      &out_cap, out_len, end_bit, finished, 1);
 }
 
 void tbz_free(uint8_t* p) { free(p); }
@@ -855,7 +870,8 @@ static int32_t inflate_core(const uint8_t* data, int64_t size,
                             int64_t start_bit, const uint8_t* window,
                             int64_t window_len, uint8_t** out_ptr,
                             int64_t* out_cap_ptr, int64_t* out_len,
-                            int64_t* end_bit, int32_t* finished) {
+                            int64_t* end_bit, int32_t* finished,
+                            int32_t fixed_buf) {
   ensure_fixed();
   Br br;
   br.init(data, size, start_bit);
@@ -867,6 +883,7 @@ static int32_t inflate_core(const uint8_t* data, int64_t size,
   int32_t err = OK;
 
   auto ensure = [&](int64_t need) -> bool {
+    if (fixed_buf) return pos + need <= cap;  // exact-bound caller buffer
     if (pos + need + 16 <= cap) return true;
     int64_t ncap = cap ? cap * 2 : (1 << 20);
     while (ncap < pos + need + 16) ncap *= 2;
@@ -1017,11 +1034,11 @@ static int32_t inflate_core(const uint8_t* data, int64_t size,
         goto done;
       }
       if (op == OP_END) break;
-      if (!ensure(300)) {
-        err = ERR_TAPE_OVERFLOW;
-        goto done;
-      }
       if (op == OP_LITERAL) {
+        if (!ensure(1)) {
+          err = ERR_TAPE_OVERFLOW;
+          goto done;
+        }
         out[pos++] = uint8_t(val);
         continue;
       }
@@ -1049,6 +1066,10 @@ static int32_t inflate_core(const uint8_t* data, int64_t size,
       int64_t src = pos - d;
       if (src < -window_len) {
         err = ERR_BAD_DISTANCE;
+        goto done;
+      }
+      if (!ensure(len)) {
+        err = ERR_TAPE_OVERFLOW;
         goto done;
       }
       int64_t k = 0;

@@ -136,6 +136,13 @@ def _load():
             ctypes.POINTER(ctypes.c_int32)]
         lib.tbz_free.restype = None
         lib.tbz_free.argtypes = [ctypes.POINTER(ctypes.c_uint8)]
+        lib.tbz_inflate_into.restype = ctypes.c_int32
+        lib.tbz_inflate_into.argtypes = [
+            ctypes.c_char_p, ctypes.c_int64, ctypes.c_int64,
+            ctypes.c_char_p, ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_uint8), ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_int64),
+            ctypes.POINTER(ctypes.c_int32)]
         lib.tbz_pack.restype = ctypes.c_int64
         lib.tbz_pack.argtypes = [
             ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int32),
@@ -394,6 +401,35 @@ def inflate(data, bit_pos: int = 0, window: bytes = b"",
     finally:
         lib.tbz_free(out_ptr)
     return body, int(end_bit.value), bool(finished.value)
+
+
+def inflate_into(data, out_buffer, bit_pos: int = 0,
+                 window: bytes = b"") -> tuple[int, int, bool]:
+    """Inflate INTO a caller-provided writable buffer, zero-copy (the
+    known-size fast path, api.lisp:36-48). Returns (n_written, end_bit,
+    finished); raises DeflateError('output buffer too small', code 11)
+    if the stream needs more room than len(out_buffer)."""
+    lib = _load()
+    dptr, dlen, _keep = _buf(data)
+    arr = np.frombuffer(memoryview(out_buffer), np.uint8)
+    if not arr.flags.writeable:
+        raise TypeError("output buffer must be writable")
+    window = bytes(window)
+    out_len = ctypes.c_int64()
+    end_bit = ctypes.c_int64()
+    finished = ctypes.c_int32()
+    err = lib.tbz_inflate_into(
+        dptr, dlen, bit_pos, window, len(window),
+        arr.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), arr.size,
+        ctypes.byref(out_len), ctypes.byref(end_bit),
+        ctypes.byref(finished))
+    if err == ERR_TRUNCATED:
+        raise TruncatedError("input underrun")
+    if err == ERR_TAPE_OVERFLOW:
+        from ..errors import DeflateError
+        raise DeflateError("output buffer too small", ERR_TAPE_OVERFLOW)
+    raise_for_code(err)
+    return int(out_len.value), int(end_bit.value), bool(finished.value)
 
 
 def pack_tokens(out_len, dist, lit, lit_codes_rev, lit_lens,

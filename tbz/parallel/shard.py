@@ -57,91 +57,170 @@ def _pow2(n, floor):
     return 1 << (n - 1).bit_length()
 
 
-def decode_streams_sharded(payloads: list[bytes], mesh=None,
-                           format: str = "auto", verify: bool = True):
-    """Decode independent raw/zlib/gzip streams data-parallel over the
-    mesh's devices. Returns (outputs, checksums_verified).
-
-    Host frontends tokenize (sequential-irreducible); the device mesh
-    resolves + checksums every stream in parallel; outputs come back in
-    stream order (ordered gather via the global output sharding).
-    """
+def _tokenize_members(payload: bytes, format: str):
+    """Host frontend for one payload: parse EVERY member (multi-member
+    gzip supported). Returns a list of member dicts."""
     from .. import api, frontend
+    from ..errors import DeflateError, TruncatedError
+    from ..formats import gzip_fmt, zlib_fmt
+
+    payload = bytes(payload)
+    fmt = api.detect_format(payload) if format == "auto" else format
+    members = []
+    pos = 0
+    while True:
+        if fmt == "gzip":
+            hdr = gzip_fmt.parse_header(payload, pos)
+            body = payload[hdr.data_offset:]
+            res = frontend.tokenize(body)
+            if not res.finished:
+                raise TruncatedError("member body truncated")
+            end = (res.end_bit + 7) // 8
+            crc, isize = gzip_fmt.read_trailer(body, end)
+            members.append(dict(fmt=fmt, body=body, res=res,
+                                kind="crc32", expect=crc, isize=isize))
+            pos = hdr.data_offset + end + 8
+            if pos + 2 > len(payload) or payload[pos:pos + 2] != b"\x1f\x8b":
+                if pos < len(payload):
+                    raise DeflateError(
+                        f"{len(payload) - pos} trailing bytes after gzip "
+                        "member")
+                break
+        elif fmt == "zlib":
+            hdr = zlib_fmt.parse_header(payload)
+            body = payload[hdr.data_offset:]
+            res = frontend.tokenize(body)
+            if not res.finished:
+                raise TruncatedError("member body truncated")
+            adler = zlib_fmt.read_trailer(body, (res.end_bit + 7) // 8)
+            members.append(dict(fmt=fmt, body=body, res=res,
+                                kind="adler32", expect=adler, isize=None))
+            break
+        else:
+            res = frontend.tokenize(payload)
+            if not res.finished:
+                raise TruncatedError("member body truncated")
+            members.append(dict(fmt=fmt, body=payload, res=res,
+                                kind=None, expect=None, isize=None))
+            break
+    return members
+
+
+def decode_streams_sharded(payloads: list[bytes], mesh=None,
+                           format: str = "auto", verify: bool = True,
+                           return_errors: bool = False):
+    """Decode independent raw/zlib/gzip streams data-parallel over the
+    mesh's 'dp' axis. Returns a list of per-stream outputs (bytes), in
+    stream order. With return_errors=True, a corrupt stream yields its
+    exception object at its position instead of aborting the batch
+    (SURVEY §5.3 per-stream error values); otherwise the first error is
+    raised after all healthy streams were decoded.
+
+    Host frontends tokenize every member (multi-member gzip included);
+    members are grouped into pow2 SIZE BUCKETS so one huge stream does
+    not inflate the padding of small ones; each bucket resolves and
+    checksums (only the kind its framing needs) on the device mesh, and
+    outputs come back in stream order.
+    """
+    from ..errors import DeflateError
     from ..formats import gzip_fmt, zlib_fmt
 
     if mesh is None:
         mesh = make_mesh(sp=1)
     ndev = mesh.devices.size
 
-    def front(p):
-        p = bytes(p)
-        fmt = api.detect_format(p) if format == "auto" else format
-        if fmt == "gzip":
-            hdr = gzip_fmt.parse_header(p, 0)
-            body = p[hdr.data_offset:]
-            res = frontend.tokenize(body)
-            crc, isize = gzip_fmt.read_trailer(
-                body, (res.end_bit + 7) // 8)
-            return (fmt, body, res, ("crc32", crc, isize))
-        if fmt == "zlib":
-            hdr = zlib_fmt.parse_header(p)
-            body = p[hdr.data_offset:]
-            res = frontend.tokenize(body)
-            adler = zlib_fmt.read_trailer(body, (res.end_bit + 7) // 8)
-            return (fmt, body, res, ("adler32", adler, None))
-        res = frontend.tokenize(p)
-        return (fmt, p, res, (None, None, None))
-
     # Host frontends are per-stream independent; ctypes releases the GIL.
     import concurrent.futures
+    def front(p):
+        try:
+            return _tokenize_members(p, format)
+        except DeflateError as e:
+            return e
+
     with concurrent.futures.ThreadPoolExecutor(4) as ex:
-        metas = list(ex.map(front, payloads))
+        per_stream = list(ex.map(front, payloads))
 
-    S = len(metas)
-    S_pad = -(-S // ndev) * ndev
-    T = _pow2(max(len(m[2].tape) for m in metas), 1024)
-    cap = _pow2(max(m[2].tape.total_out for m in metas), 4096)
-    M = _pow2(max(len(m[1]) for m in metas), 1024)
+    # Flatten healthy members into work items; bucket by padded shape.
+    items = []  # (stream_idx, member_idx, member)
+    for si, m in enumerate(per_stream):
+        if isinstance(m, Exception):
+            continue
+        for mi, mem in enumerate(m):
+            items.append((si, mi, mem))
 
-    out_len = np.zeros((S_pad, T), np.int32)
-    dist = np.zeros((S_pad, T), np.int32)
-    root_val = np.zeros((S_pad, T), np.int32)
-    n_tokens = np.zeros(S_pad, np.int32)
-    total_out = np.zeros(S_pad, np.int32)
-    inputs = np.zeros((S_pad, M), np.uint8)
-    windows = np.zeros((S_pad, W), np.uint8)
-    for i, (fmt, body, res, _) in enumerate(metas):
-        t = res.tape
-        n = len(t)
-        out_len[i, :n] = t.out_len
-        dist[i, :n] = t.dist
-        root_val[i, :n] = t.root_val
-        n_tokens[i] = n
-        total_out[i] = t.total_out
-        inputs[i, :len(body)] = np.frombuffer(body, np.uint8)
+    buckets = {}
+    for it in items:
+        mem = it[2]
+        t = mem["res"].tape
+        key = (_pow2(len(t), 1024), _pow2(t.total_out, 4096),
+               _pow2(len(mem["body"]), 1024))
+        buckets.setdefault(key, []).append(it)
 
-    sharding = NamedSharding(mesh, P("dp"))
+    member_out: dict = {}
+    member_err: dict = {}
+    for (T, cap, M), its in buckets.items():
+        S_pad = -(-len(its) // ndev) * ndev
+        out_len = np.zeros((S_pad, T), np.int32)
+        dist = np.zeros((S_pad, T), np.int32)
+        root_val = np.zeros((S_pad, T), np.int32)
+        n_tokens = np.zeros(S_pad, np.int32)
+        total_out = np.zeros(S_pad, np.int32)
+        inputs = np.zeros((S_pad, M), np.uint8)
+        windows = np.zeros((S_pad, W), np.uint8)
+        for i, (_, _, mem) in enumerate(its):
+            t = mem["res"].tape
+            n = len(t)
+            out_len[i, :n] = t.out_len
+            dist[i, :n] = t.dist
+            root_val[i, :n] = t.root_val
+            n_tokens[i] = n
+            total_out[i] = t.total_out
+            body = mem["body"]
+            inputs[i, :len(body)] = np.frombuffer(body, np.uint8)
 
-    def put(x):
-        spec = P("dp", *([None] * (x.ndim - 1)))
-        return jax.device_put(x, NamedSharding(mesh, spec))
+        def put(x):
+            spec = P("dp", *([None] * (x.ndim - 1)))
+            return jax.device_put(x, NamedSharding(mesh, spec))
 
-    out = _resolve_batch(put(out_len), put(dist), put(root_val),
-                         put(n_tokens), put(total_out), put(inputs),
-                         put(windows), cap)
-    bodies = out[:, W:]
-    crcs = np.asarray(_crc_batch(bodies, jnp.asarray(total_out)))
-    adlers = np.asarray(_adler_batch(bodies, jnp.asarray(total_out)))
+        out = _resolve_batch(put(out_len), put(dist), put(root_val),
+                             put(n_tokens), put(total_out), put(inputs),
+                             put(windows), cap)
+        bodies = out[:, W:]
+        # only the checksum kinds present in this bucket (device-resident
+        # input: one D2H per bucket for the outputs, none for checksums)
+        kinds = {mem["kind"] for _, _, mem in its}
+        crcs = (np.asarray(_crc_batch(bodies, jnp.asarray(total_out)))
+                if verify and "crc32" in kinds else None)
+        adlers = (np.asarray(_adler_batch(bodies, jnp.asarray(total_out)))
+                  if verify and "adler32" in kinds else None)
+        host = np.asarray(bodies)
+        for i, (si, mi, mem) in enumerate(its):
+            ob = host[i, :int(total_out[i])].tobytes()
+            try:
+                if verify and mem["kind"] == "crc32":
+                    gzip_fmt.check_trailer(mem["expect"], int(crcs[i]),
+                                           mem["isize"], len(ob))
+                elif verify and mem["kind"] == "adler32":
+                    zlib_fmt.check_adler(mem["expect"], int(adlers[i]))
+            except DeflateError as e:
+                member_err[si] = e
+            member_out[(si, mi)] = ob
 
-    outputs = []
-    host = np.asarray(bodies)
-    for i, (fmt, body, res, (kind, expect, isize)) in enumerate(metas):
-        ob = host[i, :int(total_out[i])].tobytes()
-        if verify and kind == "crc32":
-            gzip_fmt.check_trailer(expect, int(crcs[i]), isize, len(ob))
-        elif verify and kind == "adler32":
-            zlib_fmt.check_adler(expect, int(adlers[i]))
-        outputs.append(ob)
+    outputs: list = []
+    first_error = None
+    for si, m in enumerate(per_stream):
+        if isinstance(m, Exception):
+            outputs.append(m)
+            first_error = first_error or m
+            continue
+        if si in member_err:
+            outputs.append(member_err[si])
+            first_error = first_error or member_err[si]
+            continue
+        outputs.append(b"".join(member_out[(si, mi)]
+                                for mi in range(len(m))))
+    if first_error is not None and not return_errors:
+        raise first_error
     return outputs
 
 

@@ -147,3 +147,40 @@ def test_trailing_garbage_reported():
 def test_empty_payloads():
     assert api.decompress(zlib.compress(b""), "zlib") == b""
     assert api.decompress(_gzip.compress(b""), "gzip") == b""
+
+
+def test_decompress_into_buffer():
+    """Known-size zero-copy path (api.lisp:36-48): decode straight into
+    a caller buffer; too-small buffers error; multi-member gzip fills
+    successive slices."""
+    import numpy as np
+    data = corpus(55, 200000)
+    for fmt, payload in [
+        ("raw", zlib.compress(data, 9)[2:-4]),
+        ("zlib", zlib.compress(data, 9)),
+        ("gzip", _gzip.compress(data, 9)),
+    ]:
+        buf = bytearray(len(data))
+        n = api.decompress_into(payload, buf, fmt)
+        assert n == len(data) and bytes(buf) == data
+        small = np.zeros(len(data) // 2, np.uint8)
+        with pytest.raises(DeflateError):
+            api.decompress_into(payload, small, fmt)
+    # multi-member gzip
+    parts = [corpus(60 + i, 30000) for i in range(3)]
+    payload = b"".join(_gzip.compress(p, 6) for p in parts)
+    buf = bytearray(90000)
+    n = api.decompress_into(payload, buf, "gzip")
+    assert n == 90000 and bytes(buf) == b"".join(parts)
+    # corrupt trailer detected
+    bad = bytearray(_gzip.compress(data, 9))
+    bad[-5] ^= 0xFF
+    with pytest.raises(ChecksumError):
+        api.decompress_into(bytes(bad), bytearray(len(data)), "gzip")
+    # raw + preset dictionary
+    zd = data[:4000]
+    co = zlib.compressobj(9, zlib.DEFLATED, -15, zdict=zd)
+    body = co.compress(data[:10000]) + co.flush()
+    buf = bytearray(10000)
+    assert api.decompress_into(body, buf, "raw", zdict=zd) == 10000
+    assert bytes(buf) == data[:10000]

@@ -104,3 +104,54 @@ def test_assign_members_balanced():
     loads = sorted(sum(sizes[i] for i in g) for g in groups)
     assert loads[-1] - loads[0] <= 100  # LPT bound
     assert sorted(i for g in groups for i in g) == list(range(6))
+
+
+def test_sharded_size_buckets_and_multimember():
+    import random
+    """19 members spanning 4KB..2MB decode without max-padding blowup
+    (pow2 size buckets), including multi-member gzip payloads."""
+    import gzip as _gzip
+    from tbz.parallel import shard
+    from tbz.parallel.mesh import make_mesh
+    mesh = make_mesh(sp=1)
+    rng = random.Random(5)
+    streams = []
+    payloads = []
+    for i in range(17):
+        n = rng.choice([4096, 20000, 100000, 1 << 21])
+        s = corpus(i, n)
+        streams.append(s)
+        payloads.append(zlib.compress(s, 6) if i % 2 else
+                        _gzip.compress(s, 6))
+    # two multi-member gzip payloads
+    for i in (17, 18):
+        parts = [corpus(i * 10 + j, 30000) for j in range(3)]
+        streams.append(b"".join(parts))
+        payloads.append(b"".join(_gzip.compress(p, 6) for p in parts))
+    outs = shard.decode_streams_sharded(payloads, mesh)
+    assert outs == streams
+
+
+def test_sharded_per_stream_errors():
+    """One corrupt member reports its error value; the others decode
+    (SURVEY §5.3: per-stream error values, not batch aborts)."""
+    import gzip as _gzip
+    import pytest
+    from tbz.errors import ChecksumError, DeflateError
+    from tbz.parallel import shard
+    from tbz.parallel.mesh import make_mesh
+    mesh = make_mesh(sp=1)
+    streams = [corpus(40 + i, 50000) for i in range(5)]
+    payloads = [_gzip.compress(s, 6) for s in streams]
+    bad = bytearray(payloads[2])
+    bad[len(bad) // 2] ^= 0xFF  # corrupt mid-body
+    payloads[2] = bytes(bad)
+    outs = shard.decode_streams_sharded(payloads, mesh,
+                                        return_errors=True)
+    for i, o in enumerate(outs):
+        if i == 2:
+            assert isinstance(o, DeflateError)
+        else:
+            assert o == streams[i]
+    with pytest.raises(DeflateError):
+        shard.decode_streams_sharded(payloads, mesh)
