@@ -1207,6 +1207,111 @@ overflow:
 
 }  // extern "C"
 
+// ---- speculative-lane gap decoder -----------------------------------------
+// Host-side helper for the speculative device tokenizer
+// (ops/speculative.py): decode symbols from a mid-block bit position
+// with KNOWN code lengths, stopping when the position lands in a lane's
+// visited set (self-synchronization merge), at the lane end, or at the
+// block's end-of-block symbol (consumed). The python stitcher calls this
+// instead of symbol-at-a-time python decode (~100x).
+
+struct GapResult {
+  int64_t n_tokens;
+  int64_t end_bit;    // position after the last consumed symbol
+  int64_t merge_idx;  // index into `visited` where we merged, or -1
+  int32_t hit_eob;    // consumed the end-of-block symbol
+  int32_t err;
+};
+
+extern "C" int32_t tbz_gap_decode(
+    const uint8_t* data, int64_t size, int64_t start_bit,
+    const uint8_t* lit_lens, int32_t n_lit,
+    const uint8_t* dist_lens, int32_t n_dist,
+    const int32_t* visited, int64_t n_visited, int64_t lane_end_bit,
+    int32_t* out_len, int32_t* dist, int32_t* root_val, int64_t cap,
+    GapResult* res) {
+  Tables t;
+  int err = build_table(lit_lens, n_lit, KIND_LITLEN, kLitRoot, t.lit,
+                        kEnoughLit);
+  if (!err)
+    err = build_table(dist_lens, n_dist, KIND_DIST, kDistRoot, t.dist,
+                      kEnoughDist);
+  res->n_tokens = 0;
+  res->merge_idx = -1;
+  res->hit_eob = 0;
+  res->end_bit = start_bit;
+  if (err) {
+    res->err = err;
+    return err;
+  }
+  Br br;
+  br.init(data, size, start_bit);
+  int64_t nt = 0;
+  for (;;) {
+    int64_t p = br.bit_position();
+    if (n_visited) {  // binary search the sorted visited positions
+      int64_t lo = 0, hi = n_visited - 1;
+      while (lo <= hi) {
+        int64_t mid = (lo + hi) >> 1;
+        if (visited[mid] == p) {
+          res->merge_idx = mid;
+          break;
+        }
+        if (visited[mid] < p)
+          lo = mid + 1;
+        else
+          hi = mid - 1;
+      }
+      if (res->merge_idx >= 0) break;
+    }
+    if (p >= lane_end_bit) break;
+    uint32_t op, extra, val;
+    err = decode_symbol(br, t.lit, kLitRoot, &op, &extra, &val);
+    if (err) break;
+    if (op == OP_END) {
+      res->hit_eob = 1;
+      break;  // EOB consumed; bit position is past it
+    }
+    if (nt >= cap) {
+      err = ERR_TAPE_OVERFLOW;
+      br.init(data, size, p);  // resumable at this symbol
+      break;
+    }
+    if (op == OP_LITERAL) {
+      out_len[nt] = 1;
+      dist[nt] = 0;
+      root_val[nt] = int32_t(val);
+      nt++;
+      continue;
+    }
+    uint32_t ebits = 0;
+    if (extra && !br.get(extra, &ebits)) {
+      err = ERR_TRUNCATED;
+      break;
+    }
+    uint32_t dop, dextra, dval;
+    err = decode_symbol(br, t.dist, kDistRoot, &dop, &dextra, &dval);
+    if (err) break;
+    if (dop != OP_MATCH) {
+      err = ERR_INVALID_CODE;
+      break;
+    }
+    uint32_t debits = 0;
+    if (dextra && !br.get(dextra, &debits)) {
+      err = ERR_TRUNCATED;
+      break;
+    }
+    out_len[nt] = int32_t(val + ebits);
+    dist[nt] = int32_t(dval + debits);
+    root_val[nt] = 0;
+    nt++;
+  }
+  res->n_tokens = nt;
+  res->end_bit = br.bit_position();
+  res->err = err;
+  return err;
+}
+
 // ---- device span planner --------------------------------------------------
 // Host-side planning pass for the TPU span resolver (ops/resolve_spans.py).
 // Rewrites a token tape into chunked, generation-sorted, fixed-size span

@@ -58,6 +58,16 @@ class SpanPlan:
         self.batch = batch
 
 
+class _GapResult(ctypes.Structure):
+    _fields_ = [
+        ("n_tokens", ctypes.c_int64),
+        ("end_bit", ctypes.c_int64),
+        ("merge_idx", ctypes.c_int64),
+        ("hit_eob", ctypes.c_int32),
+        ("err", ctypes.c_int32),
+    ]
+
+
 class _TokResult(ctypes.Structure):
     _fields_ = [
         ("n_tokens", ctypes.c_int64),
@@ -157,6 +167,15 @@ def _load():
             ctypes.c_char_p, ctypes.c_int64, ctypes.c_int32,
             ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int32),
             ctypes.POINTER(ctypes.c_int32), ctypes.c_int64]
+        lib.tbz_gap_decode.restype = ctypes.c_int32
+        lib.tbz_gap_decode.argtypes = [
+            ctypes.c_char_p, ctypes.c_int64, ctypes.c_int64,
+            ctypes.c_char_p, ctypes.c_int32, ctypes.c_char_p,
+            ctypes.c_int32,
+            ctypes.POINTER(ctypes.c_int32), ctypes.c_int64, ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int32),
+            ctypes.POINTER(ctypes.c_int32), ctypes.c_int64,
+            ctypes.POINTER(_GapResult)]
         lib.tbz_plan_spans.restype = ctypes.c_int32
         lib.tbz_plan_spans.argtypes = [
             ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int32),
@@ -251,6 +270,53 @@ def tokenize_blocks(data, bit_pos: int = 0, window_len: int = 0,
         return FrontendResult(tape=tape, blocks=[],
                               end_bit=int(res.end_bit),
                               finished=bool(res.finished))
+
+
+def gap_decode(data, start_bit: int, lit_lens, dist_lens,
+               visited, lane_end_bit: int, cap: int = 4096):
+    """Mid-block symbol decode with known code lengths, stopping at a
+    visited-set merge / lane end / consumed EOB (the speculative
+    stitcher's inner loop). Returns (out_len, dist, root_val, end_bit,
+    merge_idx, hit_eob)."""
+    lib = _load()
+    dptr, dlen, _keep = _buf(data)
+    ll = np.ascontiguousarray(lit_lens, np.uint8).tobytes()
+    dl = np.ascontiguousarray(dist_lens, np.uint8).tobytes()
+    vis = np.ascontiguousarray(visited, np.int32)
+    pieces = []
+    merge_idx = -1
+    hit_eob = False
+    while True:
+        out_len = np.empty(cap, np.int32)
+        dist = np.empty(cap, np.int32)
+        root_val = np.empty(cap, np.int32)
+        res = _GapResult()
+        err = lib.tbz_gap_decode(
+            dptr, dlen, start_bit, ll, len(ll), dl, len(dl),
+            _i32p(vis), len(vis), lane_end_bit,
+            _i32p(out_len), _i32p(dist), _i32p(root_val), cap,
+            ctypes.byref(res))
+        n = int(res.n_tokens)
+        if n:
+            pieces.append((out_len[:n], dist[:n], root_val[:n]))
+        start_bit = int(res.end_bit)
+        if err == ERR_TAPE_OVERFLOW:
+            continue
+        if err == ERR_TRUNCATED:
+            raise TruncatedError("input underrun")
+        raise_for_code(err)
+        merge_idx = int(res.merge_idx)
+        hit_eob = bool(res.hit_eob)
+        break
+    if len(pieces) == 1:
+        ol, di, rv = pieces[0]
+    elif pieces:
+        ol = np.concatenate([p[0] for p in pieces])
+        di = np.concatenate([p[1] for p in pieces])
+        rv = np.concatenate([p[2] for p in pieces])
+    else:
+        ol = di = rv = np.empty(0, np.int32)
+    return ol, di, rv, start_bit, merge_idx, hit_eob
 
 
 def plan_spans(tape, input_bytes, window_len: int = 0,

@@ -50,6 +50,11 @@ def _lanes_decode(data32, lit_tab, dist_tab, lane_starts, lane_ends,
     """Decode up to max_syms symbols per lane, each lane stopping once
     its bit position passes its lane_end (or EOB / invalid / stream end).
 
+    A fixed-length lax.scan with STACKED per-step outputs — a lane's
+    emitted steps are a prefix (active is monotone), so the stacked
+    arrays are row-compact with no in-loop scatters (an earlier
+    while_loop + at[].set formulation spent ~all its time scattering).
+
     Returns per-lane arrays:
       starts   (L, max_syms) int32  symbol start bit positions (-1 pad)
       out_len  (L, max_syms) int32
@@ -57,46 +62,28 @@ def _lanes_decode(data32, lit_tab, dist_tab, lane_starts, lane_ends,
       rv       (L, max_syms) int32
       n_syms   (L,) int32
       ok       (L,) bool   lane ended cleanly (not invalid/underrun)
+      exits    (L,) int32  bit position after the lane's last symbol
     """
-    lanes = jnp.arange(L, dtype=jnp.int32)
+    peek_v = jax.vmap(lambda p: _peek(data32, p, 15))
+    peek13 = jax.vmap(lambda p: _peek(data32, p, 13))
 
-    st = dict(
-        bit=lane_starts.astype(jnp.int32),
-        n=jnp.zeros(L, jnp.int32),
-        active=jnp.ones(L, jnp.bool_),
-        bad=jnp.zeros(L, jnp.bool_),
-        starts=jnp.full((L, max_syms), -1, jnp.int32),
-        out_len=jnp.zeros((L, max_syms), jnp.int32),
-        dist=jnp.zeros((L, max_syms), jnp.int32),
-        rv=jnp.zeros((L, max_syms), jnp.int32),
-    )
-    keys = list(st.keys())
-    pack = lambda d: tuple(d[k] for k in keys)
-    unpack = lambda t: dict(zip(keys, t))
-
-    peek_v = jax.vmap(lambda p, n=15: _peek(data32, p, 15))
-
-    def body(t):
-        s = unpack(t)
-        bit = s["bit"]
+    def step(carry, _):
+        bit, active, bad = carry
         e = lit_tab[peek_v(bit).astype(jnp.int32)]
         nb = _e_nbits(e)
         op = _e_op(e)
         ex = _e_extra(e)
-        # length extra bits
         p1 = bit + nb
-        ebits = jax.vmap(lambda p: _peek(data32, p, 13))(p1).astype(
-            jnp.int32) & ((1 << jnp.clip(ex, 0, 13)) - 1)
+        ebits = peek13(p1).astype(jnp.int32) & (
+            (1 << jnp.clip(ex, 0, 13)) - 1)
         length = _e_val(e) + ebits
         p2 = p1 + jnp.where(op == C.OP_MATCH, ex, 0)
-        # distance code (only meaningful for matches)
-        de = dist_tab[jax.vmap(lambda p: _peek(data32, p, 15))(p2).astype(
-            jnp.int32)]
+        de = dist_tab[peek_v(p2).astype(jnp.int32)]
         dnb = _e_nbits(de)
         p3 = p2 + jnp.where(op == C.OP_MATCH, dnb, 0)
         dex = _e_extra(de)
-        debits = jax.vmap(lambda p: _peek(data32, p, 13))(p3).astype(
-            jnp.int32) & ((1 << jnp.clip(dex, 0, 13)) - 1)
+        debits = peek13(p3).astype(jnp.int32) & (
+            (1 << jnp.clip(dex, 0, 13)) - 1)
         d = _e_val(de) + debits
         p4 = p3 + jnp.where(op == C.OP_MATCH, dex, 0)
 
@@ -108,38 +95,59 @@ def _lanes_decode(data32, lit_tab, dist_tab, lane_starts, lane_ends,
         next_bit = jnp.where(is_match, p4, bit + nb)
         underrun = next_bit > total_bits
 
-        emit = s["active"] & ~invalid & ~underrun
-        tok_len = jnp.where(is_lit, 1, jnp.where(is_end, 0, length))
-        tok_dist = jnp.where(is_end, -1, jnp.where(is_match, d, 0))
-        tok_rv = jnp.where(is_lit, _e_val(e), 0)
-
-        idx = jnp.minimum(s["n"], max_syms - 1)
-        def put(arr, val):
-            cur = arr[lanes, idx]
-            return arr.at[lanes, idx].set(jnp.where(emit, val, cur))
-        s = dict(s)
-        s["starts"] = put(s["starts"], bit)
-        s["out_len"] = put(s["out_len"], tok_len)
-        s["dist"] = put(s["dist"], tok_dist)
-        s["rv"] = put(s["rv"], tok_rv)
-        s["n"] = s["n"] + jnp.where(emit, 1, 0)
-        s["bad"] = s["bad"] | (s["active"] & (invalid | underrun))
-        # stop once the NEXT symbol would start at/past the lane end, at
-        # EOB, on error, or when the tape fills. The stop bit is the
-        # lane's exit — the next chunk's true entry when synced.
+        emit = active & ~invalid & ~underrun
+        # pack (out_len 9b | rv 8b | eob 1b) into one word: the stacked
+        # lane arrays are the D2H payload, and every byte rides the
+        # ~50MB/s tunnel
+        packed = (jnp.where(emit & ~is_end,
+                            jnp.where(is_lit, 1, length), 0)
+                  | (jnp.where(emit & is_lit, _e_val(e), 0) << 9)
+                  | (jnp.where(emit & is_end, 1, 0) << 17))
+        ys = (jnp.where(emit, bit, -1),
+              packed,
+              jnp.where(emit & is_match, d, 0))
+        bad = bad | (active & (invalid | underrun))
         crossed = next_bit >= lane_ends
-        s["active"] = (s["active"] & ~invalid & ~underrun & ~is_end
-                       & ~crossed & (s["n"] < max_syms))
-        s["bit"] = jnp.where(emit, next_bit, s["bit"])
-        return pack(s)
+        active = emit & ~is_end & ~crossed
+        bit = jnp.where(emit, next_bit, bit)
+        return (bit, active, bad), ys
 
-    def cond(t):
-        s = unpack(t)
-        return jnp.any(s["active"])
+    init = (lane_starts.astype(jnp.int32), jnp.ones(L, jnp.bool_),
+            jnp.zeros(L, jnp.bool_))
+    (exit_bit, _, bad), (starts, packed, dist) = jax.lax.scan(
+        step, init, None, length=max_syms)
+    starts = starts.T
+    packed = packed.T
+    dist = dist.T
+    n = jnp.sum(starts >= 0, axis=1).astype(jnp.int32)
+    # ONE flat return value: each device->host fetch is a full tunnel
+    # round trip in this harness, so everything comes back in one array
+    return jnp.concatenate([
+        starts.ravel(), packed.ravel(), dist.ravel(),
+        n, (~bad).astype(jnp.int32), exit_bit])
 
-    out = unpack(jax.lax.while_loop(cond, body, pack(st)))
-    return (out["starts"], out["out_len"], out["dist"], out["rv"],
-            out["n"], ~out["bad"], out["bit"])
+
+def _lanes_decode_unpack(flat: np.ndarray, L: int, max_syms: int):
+    q = L * max_syms
+    starts = flat[:q].reshape(L, max_syms)
+    packed = flat[q:2 * q].reshape(L, max_syms)
+    dist = flat[2 * q:3 * q].reshape(L, max_syms)
+    out_len = packed & 0x1FF
+    rv = (packed >> 9) & 0xFF
+    dist = np.where((packed >> 17) & 1, -1, dist)  # -1 marks EOB tokens
+    n = flat[3 * q:3 * q + L]
+    ok = flat[3 * q + L:3 * q + 2 * L].astype(bool)
+    exits = flat[3 * q + 2 * L:3 * q + 3 * L]
+    return starts, out_len, dist, rv, n, ok, exits
+
+
+@jax.jit
+def _build_tables_pair(lit_pad, dist_pad, lit_c, dist_c):
+    """Both flat decode tables + their error codes in ONE device call
+    (separate err fetches cost a tunnel round trip each)."""
+    lit_tab, err = build_flat_table(lit_pad, lit_c, 288, True)
+    dist_tab, err2 = build_flat_table(dist_pad, dist_c, 32, True)
+    return lit_tab, dist_tab, jnp.stack([err, err2])
 
 
 def tokenize_block_speculative(data: bytes, start_bit: int,
@@ -159,15 +167,18 @@ def tokenize_block_speculative(data: bytes, start_bit: int,
     from .. import huffman
     lit_lens = np.asarray(lit_lens, np.int64)
     dist_lens = np.asarray(dist_lens, np.int64)
+    # host tables first: raises proper DeflateErrors on bad code sets
+    lit2 = huffman.build_decode_table_checked(lit_lens, huffman.KIND_LITLEN)
+    dist2 = huffman.build_decode_table_checked(dist_lens, huffman.KIND_DIST)
     lit_pad = np.zeros(288, np.int64)
     lit_pad[:len(lit_lens)] = lit_lens
     dist_pad = np.zeros(32, np.int64)
     dist_pad[:len(dist_lens)] = dist_lens
     lit_c, dist_c, _ = (jnp.asarray(x) for x in _entry_consts())
-    lit_tab, err = build_flat_table(jnp.asarray(lit_pad), lit_c, 288, True)
-    dist_tab, err2 = build_flat_table(jnp.asarray(dist_pad), dist_c, 32,
-                                      True)
-    assert int(err) == 0 and int(err2) == 0
+    lit_tab, dist_tab, errs = _build_tables_pair(
+        jnp.asarray(lit_pad), jnp.asarray(dist_pad), lit_c, dist_c)
+    errs = np.asarray(errs)
+    assert int(errs[0]) == 0 and int(errs[1]) == 0
 
     nbits = len(data) * 8
     pad = -(-len(data) // 4) * 4 + 8
@@ -177,19 +188,24 @@ def tokenize_block_speculative(data: bytes, start_bit: int,
 
     span = nbits - start_bit
     L = max(1, min(256, span // chunk_bits))
-    max_syms = chunk_bits  # min ~1.3 bits/symbol in a valid code; cap
-    lane_starts = np.array([start_bit + l * chunk_bits for l in range(L)],
-                           np.int32)
+    L = 1 << (L - 1).bit_length()  # pow2: one compile per shape class
+    # Symbols are >= ~3 bits in real codes; a lane that exceeds the cap
+    # (degenerate 1-2 bit codes) is simply marked unusable and its chunk
+    # falls back to the sequential stitcher — exactness is unaffected.
+    # Keeping the cap tight matters: the lane arrays are the D2H payload.
+    max_syms = max(256, chunk_bits // 4)
+    lane_starts = np.array(
+        [min(start_bit + l * chunk_bits, nbits) for l in range(L)],
+        np.int32)
     lane_ends = np.minimum(lane_starts + chunk_bits, nbits).astype(np.int32)
 
-    (starts, out_len, dist, rv, n_syms, ok, exits) = (
-        np.asarray(x) for x in _lanes_decode(
-            data32, lit_tab, dist_tab, jnp.asarray(lane_starts),
-            jnp.asarray(lane_ends), np.int32(nbits), L, max_syms))
+    flat = np.asarray(_lanes_decode(
+        data32, lit_tab, dist_tab, jnp.asarray(lane_starts),
+        jnp.asarray(lane_ends), np.int32(nbits), L, max_syms))
+    starts, out_len, dist, rv, n_syms, ok, exits = _lanes_decode_unpack(
+        flat, L, max_syms)
 
-    # Sequential decoder with the same tables (fallback + EOB finisher).
-    lit2 = huffman.build_decode_table_checked(lit_lens, huffman.KIND_LITLEN)
-    dist2 = huffman.build_decode_table_checked(dist_lens, huffman.KIND_DIST)
+    # Sequential decoder shares lit2/dist2 (fallback + EOB finisher).
     from ..bitreader import BitReader
     from .. import reference as R
 
@@ -225,6 +241,13 @@ def tokenize_block_speculative(data: bytes, start_bit: int,
         d = dval + (br.bits(dex) if dex else 0)
         return 0, length, d, 0
 
+    try:
+        from ..native import loader as _nl
+        use_native = _nl.available()
+    except ImportError:
+        use_native = False
+    _empty = np.empty(0, np.int32)
+
     toks_ol: list = []
     toks_di: list = []
     toks_rv: list = []
@@ -233,12 +256,17 @@ def tokenize_block_speculative(data: bytes, start_bit: int,
     gap_syms = 0
     entry = start_bit
     hit_eob = False
+    eob_consumed = False  # native gap decode consumes the EOB symbol
     for l in range(L):
         if entry >= int(lane_ends[l]) or hit_eob:
             continue  # a previous gap decode already covered this chunk
         row_n = int(n_syms[l])
         row_starts = starts[l, :row_n]
-        usable = bool(ok[l]) and row_n < max_syms
+        # a lane that filled its tape may have stopped mid-chunk; its
+        # visited set is still usable for merging, but only if it ended
+        # cleanly AND actually reached its lane end
+        usable = bool(ok[l]) and (row_n < max_syms
+                                  or int(exits[l]) >= int(lane_ends[l]))
         # Gap decode: walk the TRUE chain from `entry` until it lands on
         # a position this lane visited (self-synchronization merge), or
         # past the lane (chunk stays sequential).
@@ -248,34 +276,55 @@ def tokenize_block_speculative(data: bytes, start_bit: int,
             if pos < row_n and row_starts[pos] == entry:
                 merge = pos
         if merge is None:
-            br = BitReader(data, entry)
-            g_ol, g_di, g_rv = [], [], []
-            while True:
-                p = br.bit_position()
-                if usable:
-                    pos = int(np.searchsorted(row_starts, p))
-                    if pos < row_n and row_starts[pos] == p:
-                        merge = pos
-                        break
-                if p >= int(lane_ends[l]):
-                    entry = p
-                    break
-                kind, tl, td, tr = decode_one(br)
-                gap_syms += 1
-                if kind == 1:
+            if use_native:
+                g_ol, g_di, g_rv, entry2, midx, g_eob = _nl.gap_decode(
+                    data, entry, lit_lens, dist_lens,
+                    row_starts if usable else _empty, int(lane_ends[l]))
+                gap_syms += len(g_ol)
+                if len(g_ol):
+                    toks_ol.append(g_ol)
+                    toks_di.append(g_di)
+                    toks_rv.append(g_rv)
+                if g_eob:
                     hit_eob = True
-                    entry = p  # EOB start; sequential tail finishes
-                    break
-                g_ol.append(tl)
-                g_di.append(td)
-                g_rv.append(tr)
-            if g_ol:
-                toks_ol.append(np.array(g_ol, np.int32))
-                toks_di.append(np.array(g_di, np.int32))
-                toks_rv.append(np.array(g_rv, np.int32))
-            if merge is None:
-                fallbacks += 1
-                continue  # next lane stitches from the updated entry
+                    eob_consumed = True
+                    entry = entry2  # already past the EOB symbol
+                    continue
+                if midx >= 0:
+                    merge = midx
+                else:
+                    entry = entry2
+                    fallbacks += 1
+                    continue
+            else:
+                br = BitReader(data, entry)
+                g_ol, g_di, g_rv = [], [], []
+                while True:
+                    p = br.bit_position()
+                    if usable:
+                        pos = int(np.searchsorted(row_starts, p))
+                        if pos < row_n and row_starts[pos] == p:
+                            merge = pos
+                            break
+                    if p >= int(lane_ends[l]):
+                        entry = p
+                        break
+                    kind, tl, td, tr = decode_one(br)
+                    gap_syms += 1
+                    if kind == 1:
+                        hit_eob = True
+                        entry = p  # EOB start; sequential tail finishes
+                        break
+                    g_ol.append(tl)
+                    g_di.append(td)
+                    g_rv.append(tr)
+                if g_ol:
+                    toks_ol.append(np.array(g_ol, np.int32))
+                    toks_di.append(np.array(g_di, np.int32))
+                    toks_rv.append(np.array(g_rv, np.int32))
+                if merge is None:
+                    fallbacks += 1
+                    continue  # next lane stitches from the updated entry
         synced += 1
         seg_d = dist[l, merge:row_n]
         eob_rel = np.nonzero(seg_d == -1)[0]
@@ -292,7 +341,15 @@ def tokenize_block_speculative(data: bytes, start_bit: int,
         toks_rv.append(rv[l, merge:row_n])
         entry = int(exits[l])
 
-    ol2, di2, rv2, end_bit = seq_decode(entry)
+    if eob_consumed:
+        ol2 = di2 = rv2 = _empty
+        end_bit = entry
+    elif use_native:
+        ol2, di2, rv2, end_bit, _, tail_eob = _nl.gap_decode(
+            data, entry, lit_lens, dist_lens, _empty, 1 << 62)
+        assert tail_eob, "tail decode must end at the block's EOB"
+    else:
+        ol2, di2, rv2, end_bit = seq_decode(entry)
     ol = np.concatenate(toks_ol + [ol2]) if toks_ol else ol2
     di = np.concatenate(toks_di + [di2]) if toks_di else di2
     rvv = np.concatenate(toks_rv + [rv2]) if toks_rv else rv2
@@ -310,3 +367,86 @@ def tokenize_block_speculative(data: bytes, start_bit: int,
              "gap_syms": gap_syms,
              "sync_rate": synced / L if L else 1.0, "hit_eob": hit_eob}
     return tape, end_bit, stats
+
+
+def tokenize_stream_speculative(data: bytes, window_len: int = 0,
+                                chunk_bits: int = 2048,
+                                collect_stats: bool = False):
+    """Whole-stream speculative tokenize: the production integration of
+    the multi-lane decoder (ROADMAP §2 (b)). Block headers are parsed
+    sequentially on the host (a few hundred bytes per ~50KB block); each
+    static/dynamic block's SYMBOL STREAM — where all the bits are —
+    decodes on the device with speculative lockstep lanes; stored blocks
+    are emitted directly. Exactness never depends on lane sync (unsynced
+    spans fall back to sequential decode inside the stitcher).
+
+    Returns a FrontendResult bit-identical to the other frontends
+    (tests/test_three_way.py), or (result, stats) when collect_stats."""
+    from ..bitreader import BitReader
+    from ..errors import DeflateError, ERR_BAD_BLOCK_TYPE, \
+        ERR_STORED_LEN_MISMATCH
+    from ..tape import STORED_FLAG, FrontendResult
+    from .. import reference as R
+
+    data = bytes(data)
+    br = BitReader(data, 0)
+    parts: list = []
+    produced = 0
+    all_stats: list = []
+    while True:
+        bfinal = bool(br.bits(1))
+        btype = br.bits(2)
+        if btype == C.BTYPE_RESERVED:
+            raise DeflateError("invalid block type 3", ERR_BAD_BLOCK_TYPE)
+        if btype == C.BTYPE_STORED:
+            br.align_to_byte()
+            ln = br.bits(16)
+            nlen = br.bits(16)
+            if ln != (~nlen & 0xFFFF):
+                raise DeflateError("stored LEN/NLEN mismatch",
+                                   ERR_STORED_LEN_MISMATCH)
+            if ln:
+                off = br.bit_position() >> 3
+                br.read_bytes_aligned(ln)
+                parts.append((np.array([ln], np.int32),
+                              np.array([0], np.int32),
+                              np.array([STORED_FLAG | off], np.int32)))
+                produced += ln
+        else:
+            if btype == C.BTYPE_STATIC:
+                lit_lens = C.FIXED_LITLEN_LENGTHS
+                dist_lens = C.FIXED_DIST_LENGTHS
+            else:
+                lens, hlit, hdist = R._read_dynamic_lens(br)
+                lit_lens = lens[:hlit]
+                dist_lens = lens[hlit:]
+            tape, end_bit, stats = tokenize_block_speculative(
+                data, br.bit_position(), lit_lens, dist_lens,
+                chunk_bits=chunk_bits, produced_before=0,
+                window_len=produced + window_len)
+            all_stats.append(stats)
+            if len(tape):
+                parts.append((tape.out_len, tape.dist, tape.root_val))
+                produced += tape.total_out
+            br = BitReader(data, end_bit)
+        if bfinal:
+            break
+    if parts:
+        ol = np.concatenate([p[0] for p in parts])
+        di = np.concatenate([p[1] for p in parts])
+        rv = np.concatenate([p[2] for p in parts])
+    else:
+        ol = di = rv = np.zeros(0, np.int32)
+    tape = TokenTape(out_len=ol, dist=di, root_val=rv,
+                     total_out=int(ol.sum()))
+    res = FrontendResult(tape=tape, blocks=[],
+                         end_bit=br.bit_position(), finished=True)
+    if collect_stats:
+        agg = {
+            "blocks": len(all_stats),
+            "lanes": sum(s["lanes"] for s in all_stats),
+            "synced": sum(s["synced"] for s in all_stats),
+            "gap_syms": sum(s["gap_syms"] for s in all_stats),
+        }
+        return res, agg
+    return res

@@ -523,11 +523,20 @@ def tokenize_device_impl(data32: jnp.ndarray, total_bits: jnp.ndarray,
             final["err"], final["finished"])
 
 
+#: streams at/above this size route through the speculative multi-lane
+#: decoder (per-launch lane setup amortizes; below it the sequential
+#: while_loop machine wins on latency)
+SPECULATIVE_MIN_BYTES = 1 << 16
+
+
 def tokenize_auto(data: bytes, window_len: int = 0) -> FrontendResult:
     """Device-frontend dispatcher (the 'device' option of
-    frontend.tokenize): currently the sequential while_loop machine;
-    routes whole static/dynamic streams through the speculative
-    multi-lane decoder as that path productionizes."""
+    frontend.tokenize): large streams decode speculatively (lockstep
+    multi-lane with sequential-fallback stitching, ops/speculative);
+    small ones use the one-symbol-per-iteration while_loop machine."""
+    if len(data) >= SPECULATIVE_MIN_BYTES:
+        from .speculative import tokenize_stream_speculative
+        return tokenize_stream_speculative(bytes(data), window_len)
     return tokenize_device(data, window_len)
 
 

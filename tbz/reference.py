@@ -48,9 +48,9 @@ def _decode_symbol(br: BitReader, table: np.ndarray, kind: int):
     return op, (e >> C.ENTRY_EXTRA_SHIFT) & _EXTRA_MASK, e >> C.ENTRY_VAL_SHIFT
 
 
-def _read_dynamic_tables(br: BitReader):
-    """Parse a dynamic-block header into litlen/dist decode tables
-    (semantics of deflate.lisp:577-668 + huffman-tree.lisp:99-287)."""
+def _read_dynamic_lens(br: BitReader):
+    """Parse a dynamic-block header into (lens, hlit, hdist) code-length
+    arrays — the table-free form the speculative lane kernel consumes."""
     hlit = br.bits(5) + 257
     hdist = br.bits(5) + 1
     hclen = br.bits(4) + 4
@@ -90,6 +90,13 @@ def _read_dynamic_tables(br: BitReader):
             i += rep  # lens already zero
     if lens[256] == 0:
         raise DeflateError("missing end-of-block code", E.ERR_BAD_HUFFMAN)
+    return lens, hlit, hdist
+
+
+def _read_dynamic_tables(br: BitReader):
+    """Parse a dynamic-block header into litlen/dist decode tables
+    (semantics of deflate.lisp:577-668 + huffman-tree.lisp:99-287)."""
+    lens, hlit, hdist = _read_dynamic_lens(br)
     lit_table, err = huffman.build_decode_table(lens[:hlit], huffman.KIND_LITLEN)
     if err:
         raise DeflateError("invalid literal/lengths set", err)
