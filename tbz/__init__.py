@@ -27,7 +27,7 @@ __all__ = [
     "DeflateError", "ChecksumError", "TruncatedError",
     "decompress", "compress", "decompress_into", "decompress_file",
     "decompress_stream",
-    "Decompressor", "Compressor",
+    "Decompressor", "Compressor", "ZipReader",
 ]
 
 
@@ -40,4 +40,7 @@ def __getattr__(name):
     if name in ("Decompressor", "Compressor"):
         from . import streaming
         return getattr(streaming, name)
+    if name == "ZipReader":
+        from .formats.zip_fmt import ZipReader
+        return ZipReader
     raise AttributeError(name)

@@ -44,6 +44,10 @@ class GzipHeader:
     header_crc_ok: bool | None = None  # None when no FHCRC present
     data_offset: int = 0        # byte offset where the deflate body starts
 
+    def subfields(self) -> list:
+        """FEXTRA (SI1SI2, data) subfields (RFC 1952 §2.3.1.1)."""
+        return parse_extra_subfields(self.extra) if self.extra else []
+
 
 def _decode_latin1_fallback(raw: bytes) -> str:
     """UTF-8 with Latin-1 fallback (gzip.lisp:205-212 babel semantics)."""
@@ -106,6 +110,43 @@ def parse_header(data: bytes, offset: int = 0) -> GzipHeader:
         pos += 2
     h.data_offset = pos
     return h
+
+
+def parse_extra_subfields(extra: bytes) -> list[tuple[bytes, bytes]]:
+    """Split an FEXTRA payload into (SI1SI2 id, data) subfields per
+    RFC 1952 §2.3.1.1 (the reference stores the raw payload only,
+    gzip.lisp:178-197; the subfield structure is this API's extension).
+    Malformed subfield framing raises DeflateError."""
+    out = []
+    pos = 0
+    while pos < len(extra):
+        if pos + 4 > len(extra):
+            raise DeflateError("gzip FEXTRA subfield header truncated",
+                               ERR_HEADER)
+        sid = extra[pos:pos + 2]
+        ln = int.from_bytes(extra[pos + 2:pos + 4], "little")
+        pos += 4
+        if pos + ln > len(extra):
+            raise DeflateError("gzip FEXTRA subfield payload truncated",
+                               ERR_HEADER)
+        out.append((bytes(sid), bytes(extra[pos:pos + ln])))
+        pos += ln
+    return out
+
+
+def build_extra_subfields(subfields: list[tuple[bytes, bytes]]) -> bytes:
+    """Inverse of parse_extra_subfields (for Compressor/compress use)."""
+    parts = []
+    for sid, payload in subfields:
+        if len(sid) != 2:
+            raise ValueError("subfield id must be exactly 2 bytes")
+        if len(payload) > 0xFFFF:
+            raise ValueError("subfield payload > 65535 bytes")
+        parts.append(sid + len(payload).to_bytes(2, "little") + payload)
+    blob = b"".join(parts)
+    if len(blob) > 0xFFFF:
+        raise ValueError("FEXTRA total > 65535 bytes")
+    return blob
 
 
 def read_trailer(data: bytes, offset: int) -> tuple[int, int]:

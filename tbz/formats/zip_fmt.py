@@ -1,0 +1,147 @@
+"""ZIP container reader (central-directory driven).
+
+Beyond the reference (which has no container formats): ZIP archives are
+the most common carrier of raw-deflate streams, so the codec exposes a
+reader that walks the central directory and inflates members through
+the tbz engine (stored and deflate methods), verifying each member's
+CRC-32. Writing stays with the encoder's gzip/zlib framings.
+
+Not supported (raises DeflateError): ZIP64, encryption, compression
+methods other than stored/deflate, and spanned archives.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import zlib as _zlib
+
+from ..errors import ChecksumError, DeflateError, ERR_CHECKSUM, ERR_HEADER
+
+_EOCD_SIG = b"PK\x05\x06"
+_CDIR_SIG = b"PK\x01\x02"
+_LOCAL_SIG = b"PK\x03\x04"
+
+
+@dataclasses.dataclass
+class ZipEntry:
+    name: str
+    method: int              # 0 stored | 8 deflate
+    crc32: int
+    compressed_size: int
+    uncompressed_size: int
+    local_offset: int
+    flags: int
+    comment: bytes = b""
+
+
+def _find_eocd(data: bytes) -> int:
+    # EOCD is 22 bytes + up to 64KB of archive comment.
+    lo = max(0, len(data) - (1 << 16) - 22)
+    idx = data.rfind(_EOCD_SIG, lo)
+    if idx < 0:
+        raise DeflateError("zip: end-of-central-directory not found",
+                           ERR_HEADER)
+    return idx
+
+
+def parse_directory(data: bytes) -> list[ZipEntry]:
+    eocd = _find_eocd(data)
+    if len(data) - eocd < 22:
+        raise DeflateError("zip: EOCD truncated", ERR_HEADER)
+    n_total = int.from_bytes(data[eocd + 10:eocd + 12], "little")
+    cd_size = int.from_bytes(data[eocd + 12:eocd + 16], "little")
+    cd_off = int.from_bytes(data[eocd + 16:eocd + 20], "little")
+    if n_total == 0xFFFF or cd_off == 0xFFFFFFFF:
+        raise DeflateError("zip64 archives not supported", ERR_HEADER)
+    entries = []
+    pos = cd_off
+    for _ in range(n_total):
+        if data[pos:pos + 4] != _CDIR_SIG:
+            raise DeflateError("zip: bad central directory entry",
+                               ERR_HEADER)
+        flags = int.from_bytes(data[pos + 8:pos + 10], "little")
+        method = int.from_bytes(data[pos + 10:pos + 12], "little")
+        crc = int.from_bytes(data[pos + 16:pos + 20], "little")
+        csize = int.from_bytes(data[pos + 20:pos + 24], "little")
+        usize = int.from_bytes(data[pos + 24:pos + 28], "little")
+        nlen = int.from_bytes(data[pos + 28:pos + 30], "little")
+        xlen = int.from_bytes(data[pos + 30:pos + 32], "little")
+        clen = int.from_bytes(data[pos + 32:pos + 34], "little")
+        loff = int.from_bytes(data[pos + 42:pos + 46], "little")
+        name_raw = data[pos + 46:pos + 46 + nlen]
+        name = (name_raw.decode("utf-8") if flags & 0x800
+                else name_raw.decode("cp437"))
+        comment = data[pos + 46 + nlen + xlen:pos + 46 + nlen + xlen + clen]
+        if csize == 0xFFFFFFFF or usize == 0xFFFFFFFF:
+            raise DeflateError("zip64 member sizes not supported",
+                               ERR_HEADER)
+        if flags & 0x01:
+            raise DeflateError("encrypted zip members not supported",
+                               ERR_HEADER)
+        entries.append(ZipEntry(name=name, method=method, crc32=crc,
+                                compressed_size=csize,
+                                uncompressed_size=usize,
+                                local_offset=loff, flags=flags,
+                                comment=bytes(comment)))
+        pos += 46 + nlen + xlen + clen
+    if pos != cd_off + cd_size:
+        raise DeflateError("zip: central directory size mismatch",
+                           ERR_HEADER)
+    return entries
+
+
+def _member_body(data: bytes, e: ZipEntry) -> bytes:
+    pos = e.local_offset
+    if data[pos:pos + 4] != _LOCAL_SIG:
+        raise DeflateError("zip: bad local header", ERR_HEADER)
+    nlen = int.from_bytes(data[pos + 26:pos + 28], "little")
+    xlen = int.from_bytes(data[pos + 28:pos + 30], "little")
+    start = pos + 30 + nlen + xlen
+    return data[start:start + e.compressed_size]
+
+
+class ZipReader:
+    """Read-only ZIP archive over a bytes-like object.
+
+    >>> zr = ZipReader(blob)
+    >>> zr.names()
+    >>> zr.read("path/in/archive.txt")
+    """
+
+    def __init__(self, data, *, backend: str | None = None):
+        self._data = bytes(data)
+        self._backend = backend
+        self.entries = parse_directory(self._data)
+        self._by_name = {e.name: e for e in self.entries}
+
+    def names(self) -> list[str]:
+        return [e.name for e in self.entries]
+
+    def infolist(self) -> list[ZipEntry]:
+        return list(self.entries)
+
+    def read(self, name: str, verify: bool = True) -> bytes:
+        e = self._by_name[name]
+        body = _member_body(self._data, e)
+        if e.method == 0:
+            out = body
+        elif e.method == 8:
+            from .. import api
+            out = api.decompress(body, "raw", backend=self._backend,
+                                 verify=False,
+                                 output_size=e.uncompressed_size)
+        else:
+            raise DeflateError(
+                f"zip compression method {e.method} not supported",
+                ERR_HEADER)
+        if len(out) != e.uncompressed_size:
+            raise DeflateError(
+                f"zip member size {len(out)} != directory "
+                f"{e.uncompressed_size}")
+        if verify and _zlib.crc32(out) != e.crc32:
+            raise ChecksumError(
+                f"zip member {name!r} CRC-32 mismatch", ERR_CHECKSUM)
+        return out
+
+    def read_all(self, verify: bool = True) -> dict[str, bytes]:
+        return {e.name: self.read(e.name, verify) for e in self.entries}

@@ -228,6 +228,31 @@ class _NativeInflater:
         assert self.finished
         return self.buf[(self.bit_pos + 7) // 8:]
 
+    def get_state(self) -> dict:
+        """Serializable checkpoint (the native TokState is a flat POD
+        struct — carried as raw bytes)."""
+        return {
+            "native_state": bytes(self._state.raw),
+            "window_len": self.window_len, "buf": self.buf,
+            "bit_pos": self.bit_pos, "produced": self.produced,
+            "finished": self.finished, "suspended": self.suspended,
+            "end_bit": self._end_bit,
+        }
+
+    def set_state(self, s: dict):
+        self._state = self._loader.new_stream_state()
+        raw = s["native_state"]
+        assert len(raw) <= len(self._state.raw)
+        import ctypes
+        ctypes.memmove(self._state, raw, len(raw))
+        self.window_len = s["window_len"]
+        self.buf = s["buf"]
+        self.bit_pos = s["bit_pos"]
+        self.produced = s["produced"]
+        self.finished = s["finished"]
+        self.suspended = s["suspended"]
+        self._end_bit = s["end_bit"]
+
 
 def _make_inflater(window_len: int):
     try:
@@ -538,6 +563,60 @@ class Decompressor:
     @property
     def needs_input(self) -> bool:
         return not self.eof
+
+    # --- checkpoint/resume --------------------------------------------------
+    # The reference's defining property is that ALL decode state lives in
+    # one copyable struct (SURVEY §5.4, util.lisp:25-46 save-state). The
+    # same contract here: a Decompressor suspends to a serializable blob
+    # at any point between decompress() calls and resumes in a fresh
+    # process, byte-exact.
+
+    def checkpoint(self) -> bytes:
+        import pickle
+        inf = self._inflater
+        inf_state = None
+        if inf is not None:
+            inf_state = (type(inf).__name__, inf.get_state())
+        return pickle.dumps({
+            "format": self.format, "zdict": self.zdict,
+            "verify": self.verify, "state": self.state,
+            "hdr_buf": self._hdr_buf, "window": self.window,
+            "header": self.header, "members": self.members,
+            "cksum": self._cksum, "member_out": self._member_out,
+            "unused_data": self.unused_data, "eof": self.eof,
+            "pending": self._pending, "tail": self.unconsumed_tail,
+            "inflater": inf_state,
+        })
+
+    @classmethod
+    def restore(cls, blob: bytes) -> "Decompressor":
+        import pickle
+        s = pickle.loads(blob)
+        d = cls(s["format"], zdict=s["zdict"], verify=s["verify"])
+        d.state = s["state"]
+        d._hdr_buf = s["hdr_buf"]
+        d.window = s["window"]
+        d.header = s["header"]
+        d.members = s["members"]
+        d._cksum = s["cksum"]
+        d._member_out = s["member_out"]
+        d.unused_data = s["unused_data"]
+        d.eof = s["eof"]
+        d._pending = s["pending"]
+        d._tail_push(s["tail"])
+        if s["inflater"] is not None:
+            kind, inf_state = s["inflater"]
+            if kind == "_NativeInflater":
+                d._inflater = _make_inflater(inf_state["window_len"])
+                if isinstance(d._inflater, _NativeInflater):
+                    d._inflater.set_state(inf_state)
+                else:  # native runtime not available here: no recovery
+                    raise RuntimeError(
+                        "checkpoint was taken with the native inflater")
+            else:
+                d._inflater = IncrementalInflater()
+                d._inflater.set_state(inf_state)
+        return d
 
 
 class Compressor:

@@ -8,6 +8,8 @@ import pytest
 from tbz.errors import ChecksumError, DeflateError, TruncatedError
 from tbz.formats import gzip_fmt, zlib_fmt
 
+from util import corpus
+
 
 def test_zlib_header_valid():
     h = zlib_fmt.parse_header(zlib.compress(b"x", 9))
@@ -108,3 +110,61 @@ def test_trailer_checks():
     gzip_fmt.check_trailer(1, 1, (1 << 32) + 5 & 0xFFFFFFFF, (1 << 32) + 5)
     with pytest.raises(ChecksumError):
         zlib_fmt.check_adler(1, 2)
+
+
+def test_gzip_fextra_subfields():
+    """RFC 1952 §2.3.1.1 subfield framing round trip + parse through
+    the header machine."""
+    from tbz.formats import gzip_fmt
+    subs = [(b"AB", b"hello"), (b"Ra", b""), (b"XX", bytes(range(200)))]
+    blob = gzip_fmt.build_extra_subfields(subs)
+    assert gzip_fmt.parse_extra_subfields(blob) == subs
+    # hand-build a gzip member with FEXTRA
+    import zlib as _z
+    body = _z.compress(b"payload", 9)[2:-4]
+    hdr = (b"\x1f\x8b\x08\x04" + b"\x00" * 4 + b"\x00\x03"
+           + len(blob).to_bytes(2, "little") + blob)
+    member = (hdr + body + _z.crc32(b"payload").to_bytes(4, "little")
+              + (7).to_bytes(4, "little"))
+    h = gzip_fmt.parse_header(member, 0)
+    assert h.extra == blob and h.subfields() == subs
+    from tbz import api
+    out, info = api.decompress(member, "gzip", with_info=True)
+    assert out == b"payload"
+    assert info.members[0].header.subfields() == subs
+    # malformed subfield framing
+    with pytest.raises(DeflateError):
+        gzip_fmt.parse_extra_subfields(b"AB\xff\xff12")
+
+
+def test_zip_reader_against_zipfile():
+    import io
+    import zipfile
+    from tbz.formats.zip_fmt import ZipReader
+    files = {
+        "a.txt": corpus(71, 50000),
+        "dir/b.bin": corpus(72, 120000),
+        "empty": b"",
+        "stored.dat": corpus(73, 1000),
+    }
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w") as z:
+        for name, content in files.items():
+            method = (zipfile.ZIP_STORED if name == "stored.dat"
+                      else zipfile.ZIP_DEFLATED)
+            z.writestr(zipfile.ZipInfo(name), content, compress_type=method)
+    blob = buf.getvalue()
+    zr = ZipReader(blob)
+    assert set(zr.names()) == set(files)
+    for name, content in files.items():
+        assert zr.read(name) == content
+    assert zr.read_all() == files
+    # corrupt a member body -> checksum error on read
+    import zlib as _z
+    e = [x for x in zr.entries if x.name == "dir/b.bin"][0]
+    bad = bytearray(blob)
+    # flip a byte inside the member's compressed payload
+    bad[e.local_offset + 40] ^= 0xFF
+    zr2 = ZipReader(bytes(bad))
+    with pytest.raises(DeflateError):
+        zr2.read("dir/b.bin")

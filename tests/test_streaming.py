@@ -338,3 +338,40 @@ def test_max_length_multi_member_gzip_bounded():
         stall = stall + 1 if not piece else 0
     out.append(d.flush())
     assert b"".join(out) == want and len(d.members) == 5
+
+
+def test_checkpoint_resume_across_pickle():
+    """SURVEY §5.4: all decode state lives in one serializable blob; a
+    checkpoint taken at ANY chunk boundary resumes byte-exact — here in
+    a fresh Decompressor, through a subprocess-safe pickle round trip."""
+    data = corpus(321, 1 << 18)
+    for fmt, payload in [("zlib", zlib.compress(data, 9)),
+                         ("gzip", _gzip.compress(data, 6))]:
+        rng = random.Random(fmt)
+        d = Decompressor(fmt)
+        out = []
+        pos = 0
+        while pos < len(payload):
+            n = rng.randint(1, 7777)
+            out.append(d.decompress(payload[pos:pos + n]))
+            pos += n
+            if rng.random() < 0.3:
+                d = Decompressor.restore(d.checkpoint())
+        out.append(d.flush())
+        assert b"".join(out) == data and d.eof
+
+
+def test_checkpoint_resume_bounded_mode():
+    data = corpus(322, 200000)
+    payload = zlib.compress(data, 6)
+    d = Decompressor("zlib")
+    out = [d.decompress(payload, max_length=30000)]
+    blob = d.checkpoint()
+    d2 = Decompressor.restore(blob)
+    stall = 0
+    while not d2.eof and stall < 4:
+        piece = d2.decompress(b"", max_length=17000)
+        out.append(piece)
+        stall = stall + 1 if not piece else 0
+    out.append(d2.flush())
+    assert b"".join(out) == data
