@@ -26,7 +26,7 @@ _STATIC_DIST_LENS = C.FIXED_DIST_LENGTHS
 
 # level -> (max_chain, iters) for the cost-model DP parse; levels 1-3
 # use the greedy/lazy hash-chain matcher (speed tier).
-_OPTIMAL_CFG = {4: (24, 2), 5: (48, 2), 6: (128, 2), 7: (384, 2),
+_OPTIMAL_CFG = {4: (32, 1), 5: (64, 1), 6: (160, 1), 7: (384, 2),
                 8: (512, 3), 9: (2048, 3)}
 
 

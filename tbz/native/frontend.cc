@@ -1863,10 +1863,15 @@ int64_t tbz_match_optimal(const uint8_t* b, int64_t n, int32_t max_chain,
   int32_t* head = new int32_t[HSIZE];
   int64_t* prev = new int64_t[WMASK + 1];
   int64_t seg_cap = n < SEG ? n : SEG;
-  uint32_t* dp = new uint32_t[seg_cap + 1];     // cost in bits
-  int32_t* from_len = new int32_t[seg_cap + 1];  // 1=literal, >=3 match len
-  int32_t* from_dist = new int32_t[seg_cap + 1];
+  // dp packed as (cost<<25 | len<<16 | dist): branchless int64 mins in
+  // the relax loop auto-vectorize, and backtracking reads len/dist from
+  // the winning entry — one array instead of three
+  uint64_t* dp = new uint64_t[seg_cap + 1];
   int32_t* sublen = new int32_t[MAX_MATCH + 1];
+  constexpr uint64_t DP_INF = ~uint64_t(0);
+  auto dp_cost = [](uint64_t v) -> uint64_t { return v >> 25; };
+  auto dp_len = [](uint64_t v) -> int { return int((v >> 16) & 0x1FF); };
+  auto dp_dist = [](uint64_t v) -> int { return int(v & 0xFFFF); };
 
   auto hash3 = [&](int64_t i) -> uint32_t {
     return ((uint32_t(b[i]) << 10) ^ (uint32_t(b[i + 1]) << 5) ^ b[i + 2]) &
@@ -1893,16 +1898,13 @@ int64_t tbz_match_optimal(const uint8_t* b, int64_t n, int32_t max_chain,
         head[h] = int64_t(i);
       }
       dp[0] = 0;
-      for (int64_t i = 1; i <= m; i++) dp[i] = 0xFFFFFFFFu;
+      for (int64_t i = 1; i <= m; i++) dp[i] = DP_INF;
 
       for (int64_t i = s; i < e; i++) {
         int64_t r = i - s;  // dp index
-        uint32_t base = dp[r];
-        uint32_t lc = base + cm.lit[b[i]];
-        if (lc < dp[r + 1]) {
-          dp[r + 1] = lc;
-          from_len[r + 1] = 1;
-        }
+        uint64_t base = dp_cost(dp[r]);
+        uint64_t lc = ((base + cm.lit[b[i]]) << 25) | (1u << 16);
+        if (lc < dp[r + 1]) dp[r + 1] = lc;
         // match edges via hash chain: sublen[l] = nearest dist reaching l
         if (i + MIN_MATCH <= n) {
           // cap match length at the segment boundary (forced token break)
@@ -1914,8 +1916,21 @@ int64_t tbz_match_optimal(const uint8_t* b, int64_t n, int32_t max_chain,
             while (cand >= 0 && i - cand <= MAX_DIST && chain-- > 0) {
               if (b[cand + best] == b[i + best] && b[cand] == b[i] &&
                   b[cand + 1] == b[i + 1]) {
+                // word-wise extension (8 bytes per step, ctz on mismatch)
                 int l = 0;
-                while (l < max_len && b[cand + l] == b[i + l]) l++;
+                while (l + 8 <= max_len) {
+                  uint64_t wa, wb;
+                  std::memcpy(&wa, b + cand + l, 8);
+                  std::memcpy(&wb, b + i + l, 8);
+                  uint64_t x = wa ^ wb;
+                  if (x) {
+                    l += __builtin_ctzll(x) >> 3;
+                    break;
+                  }
+                  l += 8;
+                }
+                if (l + 8 > max_len)
+                  while (l < max_len && b[cand + l] == b[i + l]) l++;
                 if (l > best) {
                   int64_t d = i - cand;
                   for (int k = best + 1; k <= l; k++) sublen[k] = int32_t(d);
@@ -1927,13 +1942,12 @@ int64_t tbz_match_optimal(const uint8_t* b, int64_t n, int32_t max_chain,
             }
             if (best >= MIN_MATCH) {
               for (int l = MIN_MATCH; l <= best; l++) {
-                uint32_t c = base + cm.len_cost[l] +
-                             cm.dist_sym_cost[dist_symbol_of(sublen[l])];
-                if (c < dp[r + l]) {
-                  dp[r + l] = c;
-                  from_len[r + l] = l;
-                  from_dist[r + l] = sublen[l];
-                }
+                uint64_t c = ((base + cm.len_cost[l] +
+                               cm.dist_sym_cost[dist_symbol_of(sublen[l])])
+                              << 25) |
+                             (uint64_t(l) << 16) | uint64_t(sublen[l]);
+                uint64_t cur = dp[r + l];
+                dp[r + l] = c < cur ? c : cur;
               }
               // long-run shortcut: inside a small-period run (e.g. a
               // byte or short-pattern repeat) the DP neighborhood
@@ -1953,17 +1967,12 @@ int64_t tbz_match_optimal(const uint8_t* b, int64_t n, int32_t max_chain,
                 while (j + MAX_MATCH <= e &&
                        b[j + MAX_MATCH - 1] == b[j + MAX_MATCH - 1 - d0]) {
                   int64_t rj = j - s;
-                  uint32_t c2 = dp[rj] + mc;
-                  if (c2 < dp[rj + MAX_MATCH]) {
-                    dp[rj + MAX_MATCH] = c2;
-                    from_len[rj + MAX_MATCH] = MAX_MATCH;
-                    from_dist[rj + MAX_MATCH] = d0;
-                  }
-                  uint32_t lc2 = dp[rj] + cm.lit[b[j]];
-                  if (lc2 < dp[rj + 1]) {
-                    dp[rj + 1] = lc2;
-                    from_len[rj + 1] = 1;
-                  }
+                  uint64_t bj = dp_cost(dp[rj]);
+                  uint64_t c2 = ((bj + mc) << 25) |
+                                (uint64_t(MAX_MATCH) << 16) | uint64_t(d0);
+                  if (c2 < dp[rj + MAX_MATCH]) dp[rj + MAX_MATCH] = c2;
+                  uint64_t lc2 = ((bj + cm.lit[b[j]]) << 25) | (1u << 16);
+                  if (lc2 < dp[rj + 1]) dp[rj + 1] = lc2;
                   uint32_t h2 = hash3(j);
                   prev[j & WMASK] = head[h2];
                   head[h2] = int64_t(j);
@@ -1994,7 +2003,7 @@ int64_t tbz_match_optimal(const uint8_t* b, int64_t n, int32_t max_chain,
           overflow = true;
           break;
         }
-        int l = from_len[pos];
+        int l = dp_len(dp[pos]);
         if (l == 1) {
           out_len[nt] = 1;
           dist[nt] = 0;
@@ -2002,7 +2011,7 @@ int64_t tbz_match_optimal(const uint8_t* b, int64_t n, int32_t max_chain,
           pos -= 1;
         } else {
           out_len[nt] = l;
-          dist[nt] = from_dist[pos];
+          dist[nt] = dp_dist(dp[pos]);
           lit[nt] = 0;
           pos -= l;
         }
@@ -2012,8 +2021,6 @@ int64_t tbz_match_optimal(const uint8_t* b, int64_t n, int32_t max_chain,
         delete[] head;
         delete[] prev;
         delete[] dp;
-        delete[] from_len;
-        delete[] from_dist;
         delete[] sublen;
         return -1;
       }
@@ -2045,8 +2052,6 @@ int64_t tbz_match_optimal(const uint8_t* b, int64_t n, int32_t max_chain,
   delete[] head;
   delete[] prev;
   delete[] dp;
-  delete[] from_len;
-  delete[] from_dist;
   delete[] sublen;
   return nt;
 }
