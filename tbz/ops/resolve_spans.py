@@ -46,12 +46,13 @@ CHUNK_OUT = CHUNK_ROWS * 128
 
 
 @functools.partial(jax.jit, static_argnames=("n_rows_out",))
-def _resolve_spans_impl(srclen, dst, b_first, b_chunk, b_litrow,
-                        litrows, window_rows, n_rows_out: int):
-    """srclen/dst: (NB, B) int32 packed spans; b_*: (NB,) int32 batch
-    metadata; litrows: (LR, 128) uint8 (LR >= max litrow + LIT_ROWS);
-    window_rows: (W_ROWS, 128) uint8 preset window (zeros if none).
-    Returns (n_rows_out, 128) uint8 resolved output rows."""
+def _resolve_spans_impl(srclen, dst, cross2, cross3, b_first, b_chunk,
+                        b_litrow, litrows, window_rows, n_rows_out: int):
+    """srclen/dst: (NB, B) int32 packed spans, dst-sorted per batch;
+    cross2/cross3: (NB, B/2|B/8) int32 sorted slot indices of spans
+    crossing one/two 128B output rows (B = none); b_*: (NB,) int32
+    batch metadata; litrows: (LR, 128) uint8; window_rows: (W_ROWS,
+    128) uint8 preset window. Returns (n_rows_out, 128) uint8 rows."""
     B = srclen.shape[1]
     out0 = jnp.zeros((n_rows_out, 128), jnp.uint8)
     local0 = jnp.zeros((LOCAL_ROWS, 128), jnp.uint8).at[:W_ROWS].set(
@@ -60,7 +61,7 @@ def _resolve_spans_impl(srclen, dst, b_first, b_chunk, b_litrow,
 
     def step(carry, xs):
         out, local = carry
-        sl, ds, first, ch, litrow = xs
+        sl, ds, cx2, cx3, first, ch, litrow = xs
 
         # chunk transition: rebuild the small local table (the big `out`
         # carry is NEVER under a cond/select — that would copy it every
@@ -109,7 +110,14 @@ def _resolve_spans_impl(srclen, dst, b_first, b_chunk, b_litrow,
         al = jnp.where(mask, al, jnp.uint8(0))
 
         # place: three 128B pieces at plain local rows (dst>>7)+{0,1,2},
-        # one combined scatter-add (span bytes are disjoint; no carries)
+        # one combined scatter-add (span bytes are disjoint; no carries).
+        # Measured alternatives on-chip: dense cumsum segment-sum 3x
+        # WORSE (axis-0 cumsum is log-pass expensive); gathering only
+        # the boundary-crossing pieces via the planner's cross lists a
+        # wash (the extra row gathers cost what the saved scatter rows
+        # saved). The scatter primitive (~83M rows/s) is the kernel's
+        # floor at short span lengths.
+        del cx2, cx3
         r0 = ds >> 7
         rows = jnp.concatenate([r0, r0 + 1, r0 + 2])
         pieces = jnp.concatenate(
@@ -122,13 +130,25 @@ def _resolve_spans_impl(srclen, dst, b_first, b_chunk, b_litrow,
         return (out, local), None
 
     (out, local), _ = jax.lax.scan(
-        step, (out0, local0), (srclen, dst, b_first, b_chunk, b_litrow))
+        step, (out0, local0),
+        (srclen, dst, cross2, cross3, b_first, b_chunk, b_litrow))
     return out
 
 
 def _pow2(n: int, floor: int = 1) -> int:
     n = max(n, floor)
     return 1 << (n - 1).bit_length()
+
+
+def _pad_batches(n: int) -> int:
+    """Batch-count shape ladder: pow2 AND 1.5*pow2 steps (max ~33%
+    padding — padded batches run the full per-step kernel cost, so pow2
+    alone wasted up to half the scan)."""
+    n = max(n, 16)
+    p = 1 << (n - 1).bit_length()
+    if n <= p // 2 + p // 4:
+        return p // 2 + p // 4
+    return p
 
 
 def resolve_spans_device(tape, input_bytes, window: bytes = b"",
@@ -143,12 +163,17 @@ def resolve_spans_device(tape, input_bytes, window: bytes = b"",
 
 def _run_plan(plan, window: bytes):
     NB = max(plan.n_batches, 1)
-    NB_pad = _pow2(NB)
+    NB_pad = _pad_batches(NB)
     B = plan.batch
     srclen = np.zeros((NB_pad, B), np.int32)
-    dst = np.full((NB_pad, B), 32768, np.int32)
+    dst = np.full((NB_pad, B), 98176, np.int32)
     srclen[:NB] = plan.srclen.reshape(NB, B)
     dst[:NB] = plan.dst.reshape(NB, B)
+    cross2 = np.full((NB_pad, B // 2), B, np.int32)
+    cross3 = np.full((NB_pad, B // 8), B, np.int32)
+    if plan.n_batches:
+        cross2[:NB] = plan.cross2.reshape(NB, B // 2)
+        cross3[:NB] = plan.cross3.reshape(NB, B // 8)
     b_first = np.zeros(NB_pad, np.int32)
     b_chunk = np.zeros(NB_pad, np.int32)
     b_litrow = np.zeros(NB_pad, np.int32)
@@ -170,9 +195,10 @@ def _run_plan(plan, window: bytes):
 
     n_rows_out = _pow2(int(plan.n_chunks)) * CHUNK_ROWS
     out_rows = _resolve_spans_impl(
-        jnp.asarray(srclen), jnp.asarray(dst), jnp.asarray(b_first),
-        jnp.asarray(b_chunk), jnp.asarray(b_litrow), jnp.asarray(litrows),
-        jnp.asarray(wrows), n_rows_out)
+        jnp.asarray(srclen), jnp.asarray(dst), jnp.asarray(cross2),
+        jnp.asarray(cross3), jnp.asarray(b_first), jnp.asarray(b_chunk),
+        jnp.asarray(b_litrow), jnp.asarray(litrows), jnp.asarray(wrows),
+        n_rows_out)
     return out_rows
 
 
