@@ -1873,7 +1873,8 @@ int64_t tbz_match_optimal(const uint8_t* b, int64_t n, int32_t max_chain,
   constexpr int HBITS = 15, HSIZE = 1 << HBITS;
   constexpr int MIN_MATCH = 3, MAX_MATCH = 258, MAX_DIST = 32768;
   constexpr int WMASK = 0xFFFF;  // wrapped prev-chain (2x window)
-  constexpr int64_t SEG = 4 << 20;
+  constexpr int64_t SEG = 2 << 20;
+  constexpr int CACHE_BP = 8;    // longest-match cache breakpoints
   if (n == 0) return 0;
   if (n < MIN_MATCH) {
     if (n > cap) return -1;
@@ -1893,6 +1894,16 @@ int64_t tbz_match_optimal(const uint8_t* b, int64_t n, int32_t max_chain,
   // the winning entry — one array instead of three
   uint64_t* dp = new uint64_t[seg_cap + 1];
   int32_t* sublen = new int32_t[MAX_MATCH + 1];
+  // longest-match cache: cost-model iterations >= 1 reuse iteration 0's
+  // chain walks (the measured bottleneck — cost scales ~linearly with
+  // chain depth) via sublen breakpoints; positions whose sublen step
+  // function has more than CACHE_BP steps stay uncached (rare)
+  uint16_t* c_bp = nullptr;
+  uint8_t* c_n = nullptr;
+  if (iters > 1) {
+    c_bp = new uint16_t[size_t(seg_cap) * CACHE_BP * 2];
+    c_n = new uint8_t[size_t(seg_cap)];
+  }
   constexpr uint64_t DP_INF = ~uint64_t(0);
   auto dp_cost = [](uint64_t v) -> uint64_t { return v >> 25; };
   auto dp_len = [](uint64_t v) -> int { return int((v >> 16) & 0x1FF); };
@@ -1912,6 +1923,7 @@ int64_t tbz_match_optimal(const uint8_t* b, int64_t n, int32_t max_chain,
     int64_t e = s + SEG < n ? s + SEG : n;
     int64_t m = e - s;
     int64_t seg_nt_base = nt;
+    if (c_n) std::memset(c_n, 0xFF, size_t(m));
     for (int iter = 0; iter < iters; iter++) {
       // hash chains rebuilt per iteration, warmed with the 32KB window
       // before the segment so matches reach back across the boundary
@@ -1936,6 +1948,20 @@ int64_t tbz_match_optimal(const uint8_t* b, int64_t n, int32_t max_chain,
           int max_len = int(e - i < MAX_MATCH ? e - i : MAX_MATCH);
           if (max_len >= MIN_MATCH) {
             int best = MIN_MATCH - 1;
+            if (c_n && iter > 0 && c_n[r] != 0xFF) {
+              // cache hit: rebuild sublen from breakpoints, skip walk
+              int prev_l = MIN_MATCH - 1;
+              const uint16_t* bp = c_bp + size_t(r) * CACHE_BP * 2;
+              for (int k = 0; k < c_n[r]; k++) {
+                int l = bp[k * 2];
+                int d = bp[k * 2 + 1];
+                for (int t = prev_l + 1; t <= l; t++) sublen[t] = d;
+                prev_l = l;
+                best = l;
+              }
+            } else {
+            int nbp = 0;
+            bool bp_over = false;
             int64_t cand = head[hash3(i)];
             int chain = max_chain;
             while (cand >= 0 && i - cand <= MAX_DIST && chain-- > 0) {
@@ -1960,10 +1986,23 @@ int64_t tbz_match_optimal(const uint8_t* b, int64_t n, int32_t max_chain,
                   int64_t d = i - cand;
                   for (int k = best + 1; k <= l; k++) sublen[k] = int32_t(d);
                   best = l;
+                  if (nbp < CACHE_BP) {
+                    uint16_t* bp = c_bp ? c_bp + size_t(r) * CACHE_BP * 2
+                                        : nullptr;
+                    if (bp) {
+                      bp[nbp * 2] = uint16_t(l);
+                      bp[nbp * 2 + 1] = uint16_t(d);
+                    }
+                    nbp++;
+                  } else {
+                    bp_over = true;
+                  }
                   if (l >= max_len) break;
                 }
               }
               cand = prev[cand & WMASK];
+            }
+            if (c_n && iter == 0) c_n[r] = bp_over ? 0xFF : uint8_t(nbp);
             }
             if (best >= MIN_MATCH) {
               for (int l = MIN_MATCH; l <= best; l++) {
@@ -2047,6 +2086,8 @@ int64_t tbz_match_optimal(const uint8_t* b, int64_t n, int32_t max_chain,
         delete[] prev;
         delete[] dp;
         delete[] sublen;
+        delete[] c_bp;
+        delete[] c_n;
         return -1;
       }
       for (int64_t a = seg_nt_base, z = nt - 1; a < z; a++, z--) {
@@ -2078,6 +2119,8 @@ int64_t tbz_match_optimal(const uint8_t* b, int64_t n, int32_t max_chain,
   delete[] prev;
   delete[] dp;
   delete[] sublen;
+  delete[] c_bp;
+  delete[] c_n;
   return nt;
 }
 
