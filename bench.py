@@ -320,16 +320,18 @@ def main():
             log(f"[bench] device span-resolve marginal rate (resident "
                 f"plan, two-size slope): {dev_resolve / 1e9:.3f} GB/s")
 
-    if args.encode:
-        osz, lsz, te = bench_encode(data[:size // 4])
-        log(f"[bench] encode: ours {osz} vs libz {lsz} "
-            f"(ratio {osz / lsz:.4f}) {size / 4 / te / 1e6:.1f} MB/s")
+    # Encoder size target (BASELINE: <= libz at matched level), 4MB slice.
+    enc_n = min(len(data), 4 << 20)
+    osz, lsz, te = bench_encode(data[:enc_n])
+    log(f"[bench] encode L6 on {enc_n >> 20}MB: ours {osz} vs libz {lsz} "
+        f"(ratio {osz / lsz:.4f}) {enc_n / te / 1e6:.1f} MB/s")
 
     result = {
         "metric": "sharded_inflate_GBps_single_host",
         "value": round(multi_gbps, 3),
         "unit": "GB/s",
         "vs_baseline": round(multi_gbps / BASELINE_GBPS, 2),
+        "encode_ratio_vs_libz_L6": round(osz / lsz, 4),
     }
     if dev_resolve is not None:
         result["device_resolve_GBps"] = round(dev_resolve / 1e9, 3)

@@ -56,6 +56,71 @@ def _block_symbol_cost(lit_freqs, lit_lens, dist_freqs, dist_lens,
     return lit_cost + dist_cost + len_extra_total + dist_extra_total
 
 
+_SPLIT_UNIT = 512  # tokens per split-plan unit
+
+
+def _entropy_bits(freqs: np.ndarray) -> float:
+    n = freqs.sum()
+    if n == 0:
+        return 0.0
+    nz = freqs[freqs > 0]
+    return float(n * np.log2(n) - np.sum(nz * np.log2(nz)))
+
+
+def _est_cost(lf, df, extra) -> float:
+    """Approximate dynamic-block bits: symbol entropy + extra bits + a
+    header estimate (used only for split decisions; emission recomputes
+    exact package-merge costs)."""
+    hdr = 80.0 + 4.0 * (np.count_nonzero(lf) + np.count_nonzero(df))
+    return _entropy_bits(lf) + _entropy_bits(df) + extra + hdr + 3
+
+
+def _plan_blocks(ol, di, li):
+    """Cost-aware block split: unit histograms + greedy pairwise merge.
+    Content with drifting statistics (e.g. concatenated heterogeneous
+    segments) needs adaptive boundaries — a fixed token count per block
+    measured up to 4% over libz on mixed corpora. Returns [(start,
+    end)] token ranges."""
+    n = len(ol)
+    if n <= 2 * _SPLIT_UNIT:
+        return [(0, n)]
+    units = []
+    for a in range(0, n, _SPLIT_UNIT):
+        b = min(a + _SPLIT_UNIT, n)
+        bol, bdi, bli = ol[a:b], di[a:b], li[a:b]
+        m = bdi == 0
+        lsym, leb, _ = lz77.length_to_symbol(bol[~m])
+        dsym, deb, _ = lz77.dist_to_symbol(bdi[~m])
+        lf = (np.bincount(bli[m], minlength=288)
+              + np.bincount(lsym, minlength=288)).astype(np.int64)
+        df = np.bincount(dsym, minlength=30).astype(np.int64)
+        extra = int(leb.sum() + deb.sum())
+        units.append([a, b, lf, df, extra, None])
+    for u in units:
+        u[5] = _est_cost(u[2], u[3], u[4])
+    changed = True
+    while changed and len(units) > 1:
+        changed = False
+        out = []
+        i = 0
+        while i < len(units):
+            if i + 1 < len(units):
+                a, b = units[i], units[i + 1]
+                mlf = a[2] + b[2]
+                mdf = a[3] + b[3]
+                mex = a[4] + b[4]
+                mc = _est_cost(mlf, mdf, mex)
+                if mc <= a[5] + b[5]:
+                    out.append([a[0], b[1], mlf, mdf, mex, mc])
+                    i += 2
+                    changed = True
+                    continue
+            out.append(units[i])
+            i += 1
+        units = out
+    return [(u[0], u[1]) for u in units]
+
+
 def _emit_tokens(w: BitWriter, ol, di, li, lit_codes, lit_lens,
                  dist_codes, dist_lens) -> None:
     try:
@@ -149,9 +214,8 @@ def deflate_raw(data: bytes, level: int = 6, *, final: bool = True,
     ol, di, li = tokenize_for_encode(data, level)
     n_tok = len(ol)
     byte_pos = np.concatenate([[0], np.cumsum(ol)])
-    blocks = range(0, n_tok, BLOCK_TOKENS)
-    for bi in blocks:
-        bj = min(bi + BLOCK_TOKENS, n_tok)
+    blocks = _plan_blocks(ol, di, li)
+    for bi, bj in blocks:
         block_final = final and bj == n_tok
         bol, bdi, bli = ol[bi:bj], di[bi:bj], li[bi:bj]
         block_bytes = data[int(byte_pos[bi]):int(byte_pos[bj])]

@@ -441,17 +441,6 @@ struct TokResult {
   int32_t pad_;
 };
 
-// Block-granular variant: on input underrun, rolls back to the start of
-// the incomplete block (tokens and bit position), so a stateless caller
-// can resume by re-feeding from end_bit with more input appended — the
-// block-granular streaming protocol (SURVEY §7 M4). err is OK in that
-// case; `finished` distinguishes stream end.
-int32_t tbz_tokenize_blocks(const uint8_t* data, int64_t size,
-                            int64_t start_bit, int64_t window_len,
-                            int64_t produced_init, int32_t* out_len,
-                            int32_t* dist, int32_t* root_val, int64_t cap,
-                            TokResult* res);
-
 // Tokenize a raw-deflate stream into the tape convention of ../tape.py.
 // produced_init/window_len feed distance validation for streaming resume.
 // On ERR_TAPE_OVERFLOW the caller retries with a larger cap.
@@ -618,15 +607,6 @@ int32_t tbz_tokenize(const uint8_t* data, int64_t size, int64_t start_bit,
                      int64_t cap, TokResult* res) {
   return tokenize_impl(data, size, start_bit, window_len, produced_init,
                        out_len, dist, root_val, cap, 0, res);
-}
-
-int32_t tbz_tokenize_blocks(const uint8_t* data, int64_t size,
-                            int64_t start_bit, int64_t window_len,
-                            int64_t produced_init, int32_t* out_len,
-                            int32_t* dist, int32_t* root_val, int64_t cap,
-                            TokResult* res) {
-  return tokenize_impl(data, size, start_bit, window_len, produced_init,
-                       out_len, dist, root_val, cap, 1, res);
 }
 
 // ---- resumable streaming tokenizer ----------------------------------------

@@ -120,8 +120,6 @@ def _load():
             ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int32),
             ctypes.POINTER(ctypes.c_int32), ctypes.c_int64,
             ctypes.POINTER(_TokResult)]
-        lib.tbz_tokenize_blocks.restype = ctypes.c_int32
-        lib.tbz_tokenize_blocks.argtypes = lib.tbz_tokenize.argtypes
         lib.tbz_state_size.restype = ctypes.c_int64
         lib.tbz_state_size.argtypes = []
         lib.tbz_state_init.restype = None
@@ -244,35 +242,6 @@ def tokenize(data, bit_pos: int = 0, window_len: int = 0,
         tape = TokenTape(out_len=out_len[:n], dist=dist[:n],
                          root_val=root_val[:n], total_out=int(res.total_out))
         return FrontendResult(tape=tape, blocks=[], end_bit=int(res.end_bit),
-                              finished=bool(res.finished))
-
-
-def tokenize_blocks(data, bit_pos: int = 0, window_len: int = 0,
-                    produced_init: int = 0) -> FrontendResult:
-    """Block-granular tokenize: consumes only COMPLETE blocks; an
-    incomplete trailing block is rolled back (end_bit = its start) so
-    the caller resumes by appending input — never raises on underrun."""
-    lib = _load()
-    dptr, dlen, _keep = _buf(data)
-    cap = max(1024, dlen)
-    while True:
-        out_len = np.empty(cap, np.int32)
-        dist = np.empty(cap, np.int32)
-        root_val = np.empty(cap, np.int32)
-        res = _TokResult()
-        lib.tbz_tokenize_blocks(dptr, dlen, bit_pos, window_len,
-                                produced_init, _i32p(out_len), _i32p(dist),
-                                _i32p(root_val), cap, ctypes.byref(res))
-        if res.err == ERR_TAPE_OVERFLOW:
-            cap *= 4
-            continue
-        raise_for_code(res.err)
-        n = res.n_tokens
-        tape = TokenTape(out_len=out_len[:n], dist=dist[:n],
-                         root_val=root_val[:n],
-                         total_out=int(res.total_out))
-        return FrontendResult(tape=tape, blocks=[],
-                              end_bit=int(res.end_bit),
                               finished=bool(res.finished))
 
 

@@ -119,3 +119,23 @@ def test_streaming_decode_of_our_output():
     out = b"".join(d.decompress(payload[i:i + 999])
                    for i in range(0, len(payload), 999)) + d.flush()
     assert out == data
+
+
+def test_size_beats_libz_mixed_bench_corpus():
+    """The bench generator's heterogeneous segment mix (prose, binary
+    records, random, runs, xml) regressed to 1.0088x libz at L6 when
+    blocks split at a fixed token count — adaptive (entropy-merge)
+    splitting is required. Keep this corpus in the matrix."""
+    import importlib.util as iu
+    import os as _os
+    here = _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__)))
+    spec = iu.spec_from_file_location(
+        "bench_mod", _os.path.join(here, "bench.py"))
+    bench = iu.module_from_spec(spec)
+    spec.loader.exec_module(bench)
+    data = bench.make_corpus(2 << 20)
+    for level in (1, 4, 6, 9):
+        raw = de.deflate_raw(data, level)
+        assert zlib.decompressobj(-15).decompress(raw) == data
+        libz = len(zlib.compress(data, level)) - 6
+        assert len(raw) <= libz, (level, len(raw), libz)
