@@ -291,9 +291,11 @@ def deflate_raw_parallel(data: bytes, level: int = 6,
 
 def compress(data, format: str = "zlib", level: int = 6,
              mtime: int = 0, name: str | None = None,
+             extra: list | None = None,
              threads: int | None = None) -> bytes:
     """Compress to raw / zlib / gzip framing. threads>1 enables
-    segment-parallel encoding for large inputs."""
+    segment-parallel encoding for large inputs. extra: gzip FEXTRA
+    subfields as [(2-byte id, payload), ...] (RFC 1952 §2.3.1.1)."""
     data = bytes(data)
     if threads and threads > 1 and len(data) > (1 << 21):
         body = deflate_raw_parallel(data, level, threads)
@@ -313,13 +315,19 @@ def compress(data, format: str = "zlib", level: int = 6,
     if format == "gzip":
         flg = 0
         name_b = b""
+        extra_b = b""
+        if extra:
+            from .formats.gzip_fmt import build_extra_subfields
+            blob = build_extra_subfields(extra)
+            flg |= 0x04
+            extra_b = len(blob).to_bytes(2, "little") + blob
         if name is not None:
-            flg = 0x08
+            flg |= 0x08
             name_b = name.encode("utf-8") + b"\x00"
         xfl = 2 if level >= 8 else 4 if level <= 2 else 0
         hdr = (b"\x1f\x8b\x08" + bytes([flg])
                + int(mtime).to_bytes(4, "little") + bytes([xfl, 3]))
         trailer = (_zlib.crc32(data).to_bytes(4, "little")
                    + (len(data) % (1 << 32)).to_bytes(4, "little"))
-        return hdr + name_b + body + trailer
+        return hdr + extra_b + name_b + body + trailer
     raise ValueError(f"unknown format {format!r}")

@@ -168,3 +168,14 @@ def test_zip_reader_against_zipfile():
     zr2 = ZipReader(bytes(bad))
     with pytest.raises(DeflateError):
         zr2.read("dir/b.bin")
+
+
+def test_gzip_fextra_write_side():
+    import gzip as _g
+    from tbz import api
+    subs = [(b"AB", b"meta"), (b"XY", b"")]
+    payload = api.compress(b"x" * 5000, "gzip", 6, extra=subs, name="n")
+    assert _g.decompress(payload) == b"x" * 5000
+    out, info = api.decompress(payload, "gzip", with_info=True)
+    assert out == b"x" * 5000
+    assert info.members[0].header.subfields() == subs
