@@ -169,46 +169,25 @@ def bench_device_resolve(payload_small: bytes, payload_big: bytes,
         from tbz.ops import resolve_spans as rs
 
         @functools.partial(jax.jit, static_argnames=("n_rows_out",))
-        def resolve_sum(srclen, dst, b_first, b_chunk, b_litrow, litrows,
-                        wrows, n_rows_out, salt):
-            out = rs._resolve_spans_impl(srclen + (salt - salt), dst,
-                                         b_first, b_chunk, b_litrow,
-                                         litrows, wrows, n_rows_out)
+        def resolve_sum(*args, n_rows_out, salt):
+            first = args[0] + (salt - salt)  # defeat result caching
+            out = rs._resolve_spans_impl(first, *args[1:], n_rows_out)
             return jnp.sum(out.astype(jnp.uint32))
 
         def stage(payload, data):
             res = reference.tokenize_host(payload, 0)
             plan = loader.plan_spans(res.tape, payload)
-            NB = max(plan.n_batches, 1)
-            NB_pad = rs._pow2(NB)
-            B = plan.batch
-            srclen = np.zeros((NB_pad, B), np.int32)
-            srclen[:NB] = plan.srclen.reshape(NB, B)
-            dst = np.full((NB_pad, B), 32768, np.int32)
-            dst[:NB] = plan.dst.reshape(NB, B)
-            b_first = np.zeros(NB_pad, np.int32)
-            b_first[:NB] = plan.b_first
-            b_chunk = np.zeros(NB_pad, np.int32)
-            b_chunk[:NB] = plan.b_chunk
-            b_chunk[NB:] = plan.b_chunk[NB - 1]
-            b_litrow = np.zeros(NB_pad, np.int32)
-            b_litrow[:NB] = plan.b_litrow
-            lr = -(-max(plan.lit_bytes, 1) // 128)
-            LR = rs._pow2(lr + rs.LIT_ROWS + 1, floor=rs.LIT_ROWS + 8)
-            litrows = np.zeros((LR, 128), np.uint8)
-            litrows.reshape(-1)[:plan.lit_bytes] = plan.litbuf[:plan.lit_bytes]
-            wrows = np.zeros((rs.W_ROWS, 128), np.uint8)
-            n_rows = rs._pow2(int(plan.n_chunks)) * rs.CHUNK_ROWS
-            args = [jax.device_put(jnp.asarray(a)) for a in
-                    (srclen, dst, b_first, b_chunk, b_litrow, litrows,
-                     wrows)]
+            np_args, n_rows = rs.stage_plan(plan)
+            args = [jax.device_put(jnp.asarray(a)) for a in np_args]
             want = int(np.frombuffer(data, np.uint8).astype(np.uint32).sum())
-            s = int(resolve_sum(*args, n_rows, jnp.int32(0)))  # warm+check
+            s = int(resolve_sum(*args, n_rows_out=n_rows,
+                                salt=jnp.int32(0)))  # warm + verify
             assert s == want, "device span resolve mismatch!"
             ts = []
             for it in range(3):
                 t0 = time.perf_counter()
-                int(resolve_sum(*args, n_rows, jnp.int32(it + 1)))
+                int(resolve_sum(*args, n_rows_out=n_rows,
+                                salt=jnp.int32(it + 1)))
                 ts.append(time.perf_counter() - t0)
             return min(ts)
 
@@ -283,9 +262,11 @@ def main():
 
         ex = concurrent.futures.ThreadPoolExecutor(1)
         try:
-            ex.submit(tiny).result(timeout=300)
-        except Exception:  # noqa: BLE001
-            log("[bench] device pre-flight failed; skipping device probes")
+            # generous: queue contention makes even tiny ops take minutes
+            ex.submit(tiny).result(timeout=420)
+        except Exception as e:  # noqa: BLE001
+            log(f"[bench] device pre-flight failed ({type(e).__name__}); "
+                "host-only results")
             args.host_only = True
 
     if not args.host_only:
@@ -294,8 +275,8 @@ def main():
         # ~50 MB/s stdio tunnel, so absolute device-call times are
         # tunnel-IO-bound and say nothing about the kernel.
         small, big = 1 << 21, 1 << 23  # tunnel-feasible probe sizes
-        dv1 = bench_device_verify(out[:small], args.iters, timeout_s=420.0)
-        dv2 = (bench_device_verify(out[:big], args.iters, timeout_s=420.0)
+        dv1 = bench_device_verify(out[:small], args.iters, timeout_s=600.0)
+        dv2 = (bench_device_verify(out[:big], args.iters, timeout_s=600.0)
                if dv1 is not None else None)
         if dv1 is not None and dv2 is not None:
             crc, t_small = dv1

@@ -161,7 +161,11 @@ def resolve_spans_device(tape, input_bytes, window: bytes = b"",
     return _run_plan(plan, window), plan.total_out
 
 
-def _run_plan(plan, window: bytes):
+def stage_plan(plan, window: bytes = b""):
+    """Stage a host SpanPlan into the padded numpy argument tuple for
+    _resolve_spans_impl. Returns (args, n_rows_out) — args order matches
+    the kernel's positional parameters. Shared by the decode path, the
+    bench's resident-plan probe, and the driver entry point."""
     NB = max(plan.n_batches, 1)
     NB_pad = _pad_batches(NB)
     B = plan.batch
@@ -194,12 +198,14 @@ def _run_plan(plan, window: bytes):
         wrows.reshape(-1)[32768 - len(w):] = w
 
     n_rows_out = _pow2(int(plan.n_chunks)) * CHUNK_ROWS
-    out_rows = _resolve_spans_impl(
-        jnp.asarray(srclen), jnp.asarray(dst), jnp.asarray(cross2),
-        jnp.asarray(cross3), jnp.asarray(b_first), jnp.asarray(b_chunk),
-        jnp.asarray(b_litrow), jnp.asarray(litrows), jnp.asarray(wrows),
-        n_rows_out)
-    return out_rows
+    args = (srclen, dst, cross2, cross3, b_first, b_chunk, b_litrow,
+            litrows, wrows)
+    return args, n_rows_out
+
+
+def _run_plan(plan, window: bytes):
+    args, n_rows_out = stage_plan(plan, window)
+    return _resolve_spans_impl(*(jnp.asarray(a) for a in args), n_rows_out)
 
 
 def resolve_spans_bytes(tape, input_bytes, window: bytes = b"") -> bytes:
