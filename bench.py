@@ -12,7 +12,7 @@ vs_baseline is against the reference 3bz hot-loop rate: ~0.36 s for the
 ~107 MB linux-2.2.26.tar (bench.lisp:48,60 comments) ~= 0.30 GB/s of
 decompressed output on the author's machine.
 
-Usage: python bench.py [--size-mb N] [--quick] [--host-only] [--encode]
+Usage: python bench.py [--size-mb N] [--quick] [--host-only]
 """
 
 from __future__ import annotations
@@ -219,7 +219,6 @@ def main():
     ap.add_argument("--size-mb", type=float, default=96.0)
     ap.add_argument("--quick", action="store_true")
     ap.add_argument("--host-only", action="store_true")
-    ap.add_argument("--encode", action="store_true")
     ap.add_argument("--iters", type=int, default=3)
     args = ap.parse_args()
     if args.quick:

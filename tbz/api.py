@@ -89,13 +89,24 @@ def _decode_body(body: bytes, window: bytes, backend: str,
                                  frontend=get_config().frontend)
     with _stage("resolve.device", res.tape.total_out):
         try:
-            # span resolver: the row-gather formulation (ops/resolve_spans)
-            from .ops import resolve_spans as _rs
-            rows, total = _rs.resolve_spans_device(res.tape, body, window)
-            dev_body = rows.reshape(-1)
-        except DeflateError as e:
-            if e.code != 12:  # ERR_PLAN_DEPTH: pathological genealogy
-                raise
+            from .native import loader as _nl
+            native_ok = _nl.available()
+        except ImportError:
+            native_ok = False
+        use_spans = native_ok
+        if use_spans:
+            try:
+                # span resolver: row-gather formulation (ops/resolve_spans)
+                from .ops import resolve_spans as _rs
+                rows, total = _rs.resolve_spans_device(res.tape, body,
+                                                       window)
+                dev_body = rows.reshape(-1)
+            except DeflateError as e:
+                if e.code != 12:  # ERR_PLAN_DEPTH: pathological genealogy
+                    raise
+                use_spans = False
+        if not use_spans:
+            # fallback: pointer-doubling resolver (needs no native planner)
             from .ops import resolve as _r
             out_dev, total = _r.resolve_device(res.tape, body, window)
             dev_body = out_dev[_r.W:]

@@ -18,8 +18,6 @@ from . import huffman_encode as he
 from . import lz77
 from .bitwriter import BitWriter
 
-BLOCK_TOKENS = 32768  # symbols per dynamic block
-
 _STATIC_LIT_LENS = C.FIXED_LITLEN_LENGTHS
 _STATIC_DIST_LENS = C.FIXED_DIST_LENGTHS
 

@@ -1334,8 +1334,7 @@ extern "C" int32_t tbz_plan_spans(
     const int32_t* out_len, const int32_t* dist, const int32_t* root_val,
     int64_t n_tokens, const uint8_t* input, int64_t input_size,
     int64_t window_len, int64_t batch_size,
-    int32_t* sp_srclen, int32_t* sp_dst,
-    int32_t* sp_cross2, int32_t* sp_cross3, int64_t tok_cap,
+    int32_t* sp_srclen, int32_t* sp_dst, int64_t tok_cap,
     int32_t* b_chunk, int32_t* b_first, int32_t* b_litrow, int64_t batch_cap,
     uint8_t* litbuf, int64_t lit_cap, SpanPlan* plan) {
   struct Span {
@@ -1597,21 +1596,14 @@ extern "C" int32_t tbz_plan_spans(
         order[size_t(cursor[spans[k].gen]++)] = int32_t(k - lo);
     }
     // emit batches: per gen group, chop into batch_size slots in dst
-    // order. Per batch, also emit SORTED index lists of the slots whose
-    // spans cross one / two 128B output-row boundaries — the kernel
-    // assembles output with segment-sums over dst-sorted rows (dense
-    // cumsum + boundary picks; a row scatter was the dominant kernel
-    // cost), and pieces 1/2 ride the same machinery via these lists.
-    // A batch closes early if a crossing list hits its cap.
+    // order, padded to the fixed batch shape
     int64_t chunk_base_local = ch * kChunkOut - 32768;  // local 0 in global
     int64_t g_start = 0;
     bool first_batch_of_chunk = true;
-    const int64_t n2_cap = batch_size / 2;
-    const int64_t n3_cap = batch_size / 8;
     for (int32_t g = 0; g <= gmax; g++) {
       int64_t g_cnt = cnts[g];
       int64_t gi = 0;
-      while (gi < g_cnt || (g == 0 && g_cnt == 0 && false)) {
+      while (gi < g_cnt) {
         if (nb >= batch_cap || out_i + batch_size > tok_cap) {
           plan->err = ERR_TAPE_OVERFLOW;
           return ERR_TAPE_OVERFLOW;
@@ -1620,26 +1612,17 @@ extern "C" int32_t tbz_plan_spans(
         b_first[nb] = first_batch_of_chunk ? 1 : 0;
         b_litrow[nb] = int32_t(lit_row_lo);
         first_batch_of_chunk = false;
-        int32_t* cx2 = sp_cross2 + nb * n2_cap;
-        int32_t* cx3 = sp_cross3 + nb * n3_cap;
-        int64_t c2 = 0, c3 = 0;
         int64_t slot = 0;
         while (slot < batch_size && gi < g_cnt) {
           const Span& s =
               spans[size_t(lo + order[size_t(g_start + gi)])];
           int64_t dst_local = s.dst - chunk_base_local;
-          int pieces = 1 + int((((dst_local & 127) + s.len - 1) >> 7));
-          if ((pieces >= 2 && c2 >= n2_cap) ||
-              (pieces >= 3 && c3 >= n3_cap))
-            break;  // crossing list full: close the batch
           int64_t src_local =
               s.lit ? kLitLocalBase + (s.src - (lit_row_lo << 7))
                     : s.src - chunk_base_local;
           sp_srclen[out_i + slot] =
               int32_t(src_local) | (int32_t(s.len) << 18);
           sp_dst[out_i + slot] = int32_t(dst_local);
-          if (pieces >= 2) cx2[c2++] = int32_t(slot);
-          if (pieces >= 3) cx3[c3++] = int32_t(slot);
           slot++;
           gi++;
         }
@@ -1647,8 +1630,6 @@ extern "C" int32_t tbz_plan_spans(
           sp_srclen[out_i + k] = 0;   // len 0 = padding
           sp_dst[out_i + k] = 98176;  // max row keeps dst sorted
         }
-        for (int64_t k = c2; k < n2_cap; k++) cx2[k] = int32_t(batch_size);
-        for (int64_t k = c3; k < n3_cap; k++) cx3[k] = int32_t(batch_size);
         out_i += batch_size;
         nb++;
       }
@@ -1668,10 +1649,6 @@ extern "C" int32_t tbz_plan_spans(
         sp_srclen[out_i + k] = 0;
         sp_dst[out_i + k] = 98176;
       }
-      for (int64_t k = 0; k < batch_size / 2; k++)
-        sp_cross2[nb * (batch_size / 2) + k] = int32_t(batch_size);
-      for (int64_t k = 0; k < batch_size / 8; k++)
-        sp_cross3[nb * (batch_size / 8) + k] = int32_t(batch_size);
       out_i += batch_size;
       nb++;
     }
@@ -1909,7 +1886,8 @@ int64_t tbz_match_optimal(const uint8_t* b, int64_t n, int32_t max_chain,
       // before the segment so matches reach back across the boundary
       for (int i = 0; i < HSIZE; i++) head[i] = -1;
       int64_t warm = s > MAX_DIST ? s - MAX_DIST : 0;
-      for (int64_t i = warm; i < s; i++) {
+      int64_t warm_end = s < n - MIN_MATCH + 1 ? s : n - MIN_MATCH + 1;
+      for (int64_t i = warm; i < warm_end; i++) {  // hash3 reads b[i+2]
         uint32_t h = hash3(i);
         prev[i & WMASK] = head[h];
         head[h] = int64_t(i);

@@ -42,13 +42,11 @@ class _SpanPlanC(ctypes.Structure):
 class SpanPlan:
     """Host-side device plan (see frontend.cc tbz_plan_spans)."""
 
-    def __init__(self, srclen, dst, cross2, cross3, b_chunk, b_first,
+    def __init__(self, srclen, dst, b_chunk, b_first,
                  b_litrow, litbuf, n_batches, n_chunks, lit_bytes,
                  total_out, max_gen, batch):
         self.srclen = srclen
         self.dst = dst
-        self.cross2 = cross2
-        self.cross3 = cross3
         self.b_chunk = b_chunk
         self.b_first = b_first
         self.b_litrow = b_litrow
@@ -183,7 +181,6 @@ def _load():
             ctypes.POINTER(ctypes.c_int32), ctypes.c_int64,
             ctypes.c_char_p, ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
             ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int32),
-            ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int32),
             ctypes.c_int64,
             ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int32),
             ctypes.POINTER(ctypes.c_int32), ctypes.c_int64,
@@ -310,8 +307,6 @@ def plan_spans(tape, input_bytes, window_len: int = 0,
         tok_cap = batch_cap * batch
         srclen = np.empty(tok_cap, np.int32)
         dst = np.empty(tok_cap, np.int32)
-        cross2 = np.empty(batch_cap * (batch // 2), np.int32)
-        cross3 = np.empty(batch_cap * (batch // 8), np.int32)
         b_chunk = np.empty(batch_cap, np.int32)
         b_first = np.empty(batch_cap, np.int32)
         b_litrow = np.empty(batch_cap, np.int32)
@@ -320,8 +315,7 @@ def plan_spans(tape, input_bytes, window_len: int = 0,
         err = lib.tbz_plan_spans(
             _i32p(ol), _i32p(di), _i32p(rv), n, dptr, dlen,
             window_len, batch,
-            _i32p(srclen), _i32p(dst), _i32p(cross2), _i32p(cross3),
-            tok_cap,
+            _i32p(srclen), _i32p(dst), tok_cap,
             _i32p(b_chunk), _i32p(b_first), _i32p(b_litrow), batch_cap,
             litbuf.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
             len(litbuf), ctypes.byref(res))
@@ -333,8 +327,6 @@ def plan_spans(tape, input_bytes, window_len: int = 0,
         nt = int(res.n_tokens_padded)
         return SpanPlan(
             srclen=srclen[:nt], dst=dst[:nt],
-            cross2=cross2[:nb * (batch // 2)],
-            cross3=cross3[:nb * (batch // 8)],
             b_chunk=b_chunk[:nb], b_first=b_first[:nb],
             b_litrow=b_litrow[:nb], litbuf=litbuf,
             n_batches=nb, n_chunks=int(res.n_chunks),

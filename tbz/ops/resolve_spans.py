@@ -46,13 +46,12 @@ CHUNK_OUT = CHUNK_ROWS * 128
 
 
 @functools.partial(jax.jit, static_argnames=("n_rows_out",))
-def _resolve_spans_impl(srclen, dst, cross2, cross3, b_first, b_chunk,
+def _resolve_spans_impl(srclen, dst, b_first, b_chunk,
                         b_litrow, litrows, window_rows, n_rows_out: int):
     """srclen/dst: (NB, B) int32 packed spans, dst-sorted per batch;
-    cross2/cross3: (NB, B/2|B/8) int32 sorted slot indices of spans
-    crossing one/two 128B output rows (B = none); b_*: (NB,) int32
-    batch metadata; litrows: (LR, 128) uint8; window_rows: (W_ROWS,
-    128) uint8 preset window. Returns (n_rows_out, 128) uint8 rows."""
+    b_*: (NB,) int32 batch metadata; litrows: (LR, 128) uint8;
+    window_rows: (W_ROWS, 128) uint8 preset window. Returns
+    (n_rows_out, 128) uint8 resolved output rows."""
     B = srclen.shape[1]
     out0 = jnp.zeros((n_rows_out, 128), jnp.uint8)
     local0 = jnp.zeros((LOCAL_ROWS, 128), jnp.uint8).at[:W_ROWS].set(
@@ -61,7 +60,7 @@ def _resolve_spans_impl(srclen, dst, cross2, cross3, b_first, b_chunk,
 
     def step(carry, xs):
         out, local = carry
-        sl, ds, cx2, cx3, first, ch, litrow = xs
+        sl, ds, first, ch, litrow = xs
 
         # chunk transition: rebuild the small local table (the big `out`
         # carry is NEVER under a cond/select — that would copy it every
@@ -113,11 +112,10 @@ def _resolve_spans_impl(srclen, dst, cross2, cross3, b_first, b_chunk,
         # one combined scatter-add (span bytes are disjoint; no carries).
         # Measured alternatives on-chip: dense cumsum segment-sum 3x
         # WORSE (axis-0 cumsum is log-pass expensive); gathering only
-        # the boundary-crossing pieces via the planner's cross lists a
-        # wash (the extra row gathers cost what the saved scatter rows
+        # boundary-crossing pieces via planner crossing lists a wash
+        # (the extra row gathers cost what the saved scatter rows
         # saved). The scatter primitive (~83M rows/s) is the kernel's
         # floor at short span lengths.
-        del cx2, cx3
         r0 = ds >> 7
         rows = jnp.concatenate([r0, r0 + 1, r0 + 2])
         pieces = jnp.concatenate(
@@ -130,8 +128,7 @@ def _resolve_spans_impl(srclen, dst, cross2, cross3, b_first, b_chunk,
         return (out, local), None
 
     (out, local), _ = jax.lax.scan(
-        step, (out0, local0),
-        (srclen, dst, cross2, cross3, b_first, b_chunk, b_litrow))
+        step, (out0, local0), (srclen, dst, b_first, b_chunk, b_litrow))
     return out
 
 
@@ -173,11 +170,6 @@ def stage_plan(plan, window: bytes = b""):
     dst = np.full((NB_pad, B), 98176, np.int32)
     srclen[:NB] = plan.srclen.reshape(NB, B)
     dst[:NB] = plan.dst.reshape(NB, B)
-    cross2 = np.full((NB_pad, B // 2), B, np.int32)
-    cross3 = np.full((NB_pad, B // 8), B, np.int32)
-    if plan.n_batches:
-        cross2[:NB] = plan.cross2.reshape(NB, B // 2)
-        cross3[:NB] = plan.cross3.reshape(NB, B // 8)
     b_first = np.zeros(NB_pad, np.int32)
     b_chunk = np.zeros(NB_pad, np.int32)
     b_litrow = np.zeros(NB_pad, np.int32)
@@ -198,8 +190,7 @@ def stage_plan(plan, window: bytes = b""):
         wrows.reshape(-1)[32768 - len(w):] = w
 
     n_rows_out = _pow2(int(plan.n_chunks)) * CHUNK_ROWS
-    args = (srclen, dst, cross2, cross3, b_first, b_chunk, b_litrow,
-            litrows, wrows)
+    args = (srclen, dst, b_first, b_chunk, b_litrow, litrows, wrows)
     return args, n_rows_out
 
 

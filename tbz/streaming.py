@@ -539,13 +539,10 @@ class Decompressor:
         return self._start_body("gzip", body, max_out)
 
     def flush(self) -> bytes:
-        def drain():
+        if self._tail_len or self.state in (self.S_BODY, self.S_TRAILER):
             # Decode whatever bounded-mode calls withheld (input queue +
             # pending output), unbounded.
-            return self.decompress(b"")
-
-        if self._tail_len or self.state in (self.S_BODY, self.S_TRAILER):
-            out = drain()
+            out = self.decompress(b"")
         else:
             out = self._pending
             self._pending = b""
@@ -558,6 +555,10 @@ class Decompressor:
             # bytes are trailing junk.
             self._finish_stream(self._hdr_buf)
             return out
+        # Incomplete stream: raise, but do NOT lose what was already
+        # decoded — put it back in _pending so a caller that catches the
+        # error and keeps feeding input recovers a gapless output.
+        self._pending = out + self._pending
         raise TruncatedError("stream incomplete at flush")
 
     @property

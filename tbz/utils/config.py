@@ -28,7 +28,6 @@ class Config:
 
     # Encoder.
     level: int = 6
-    block_tokens: int = 32768
 
     # Mesh (dp = streams, sp = sequence).
     mesh_dp: int | None = None       # None = all devices

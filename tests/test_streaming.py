@@ -375,3 +375,17 @@ def test_checkpoint_resume_bounded_mode():
         stall = stall + 1 if not piece else 0
     out.append(d2.flush())
     assert b"".join(out) == data
+
+
+def test_flush_incomplete_does_not_lose_output():
+    """Round-2 review finding: flush() on an incomplete stream must not
+    discard decoded/withheld output — a caller that catches the
+    TruncatedError and keeps feeding input recovers a gapless stream."""
+    data = corpus(77, 400000)
+    payload = zlib.compress(data, 6)
+    d = Decompressor("zlib")
+    first = d.decompress(payload[:len(payload) // 2], max_length=100)
+    with pytest.raises(TruncatedError):
+        d.flush()
+    rest = d.decompress(payload[len(payload) // 2:]) + d.flush()
+    assert first + rest == data
