@@ -19,7 +19,6 @@ import numpy as np
 from . import frontend as _frontend
 from .errors import DeflateError, TruncatedError, ERR_HEADER
 from .formats import gzip_fmt, zlib_fmt
-from .tape import FrontendResult
 from .utils.config import get_config
 
 
@@ -32,10 +31,12 @@ def _stage(name: str, nbytes: int = 0):
     return contextlib.nullcontext()
 
 # Backend policy: 'auto' resolves on the host (native C++ when built) and
-# verifies checksums host-side; 'device' runs LZ77 resolution + checksum
-# verification on the accelerator (the XLA gather-based resolver — on
-# current TPU backends XLA's gather throughput makes 'host' the faster
-# default; the policy flips per-op as Pallas kernels land).
+# verifies checksums host-side; 'device' tokenizes (speculative lanes for
+# streams >= 64KB), resolves (span resolver, ops/resolve_spans), and
+# verifies checksums (MXU CRC / chunked Adler) on the accelerator. On the
+# current chip the host C++ path is still faster end-to-end (the span
+# resolver is scatter-primitive-bound — docs/ROADMAP.md §0b), so 'auto'
+# prefers it; 'device' is the fully-accelerator-resident pipeline.
 
 
 @dataclasses.dataclass

@@ -24,8 +24,8 @@ import numpy as np
 from . import constants as C
 from . import huffman, reference
 from .bitreader import BitReader
-from .errors import (ChecksumError, DeflateError, TruncatedError,
-                     ERR_BAD_BLOCK_TYPE, ERR_CHECKSUM, ERR_STORED_LEN_MISMATCH)
+from .errors import (DeflateError, TruncatedError,
+                     ERR_BAD_BLOCK_TYPE, ERR_STORED_LEN_MISMATCH)
 from .formats import gzip_fmt, zlib_fmt
 from .tape import STORED_FLAG, TokenTape
 
