@@ -126,3 +126,23 @@ def test_api_device_backend_uses_span_resolver():
     data = corpus(18, 1 << 17)
     payload = zlib.compress(data, 9)
     assert api.decompress(payload, "zlib", backend="device") == data
+
+
+def test_full_device_pipeline_speculative_plus_spans():
+    """The whole-stream device decode path: config routes the frontend
+    to the speculative lane tokenizer (stream >= 64KB) and the backend
+    to the span resolver + device checksum verify — byte-exact through
+    the public API."""
+    from tbz import api
+    from tbz.ops import tokenize_device as td
+    from tbz.utils import config as cfgmod
+    data = corpus(19, 1 << 21)
+    payload = zlib.compress(data, 9)
+    assert len(payload) - 6 >= td.SPECULATIVE_MIN_BYTES
+    old = cfgmod.get_config()
+    try:
+        cfgmod.set_config(cfgmod.Config(backend="device",
+                                        frontend="device"))
+        assert api.decompress(payload, "zlib") == data
+    finally:
+        cfgmod.set_config(old)
