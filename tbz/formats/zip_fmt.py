@@ -112,6 +112,9 @@ class ZipReader:
         self._data = bytes(data)
         self._backend = backend
         self.entries = parse_directory(self._data)
+        # like stdlib zipfile, duplicate names keep every entry in
+        # entries/infolist(); by-name lookup resolves to the LAST one
+        # (zipfile.NameToInfo semantics)
         self._by_name = {e.name: e for e in self.entries}
 
     def names(self) -> list[str]:
@@ -121,7 +124,14 @@ class ZipReader:
         return list(self.entries)
 
     def read(self, name: str, verify: bool = True) -> bytes:
-        e = self._by_name[name]
+        try:
+            e = self._by_name[name]
+        except KeyError:
+            raise KeyError(
+                f"there is no item named {name!r} in the archive") from None
+        return self._read_entry(e, name, verify)
+
+    def _read_entry(self, e: ZipEntry, name: str, verify: bool) -> bytes:
         body = _member_body(self._data, e)
         if e.method == 0:
             out = body
@@ -144,4 +154,8 @@ class ZipReader:
         return out
 
     def read_all(self, verify: bool = True) -> dict[str, bytes]:
-        return {e.name: self.read(e.name, verify) for e in self.entries}
+        """Decode every entry. Duplicate names collapse to the LAST
+        entry's content in the dict (matching by-name lookup); use
+        infolist() + _read_entry-via-read for positional access."""
+        return {e.name: self._read_entry(e, e.name, verify)
+                for e in self.entries}

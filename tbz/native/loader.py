@@ -354,8 +354,9 @@ def tokenize_stream(state, data, bit_pos: int, window_len: int,
     position + tables, so re-feeding never re-parses block data."""
     lib = _load()
     dptr, dlen, _keep = _buf(data)
+    bounded = max_out > 0
     in_bound = 8 * max(0, dlen - bit_pos // 8) + 64
-    cap = min(max_out + 257, in_bound) if max_out > 0 else in_bound
+    cap = min(max_out + 257, in_bound) if bounded else in_bound
     cap = max(cap, 1024)
     pieces = []
     total = 0
@@ -380,6 +381,13 @@ def tokenize_stream(state, data, bit_pos: int, window_len: int,
         finished = bool(res.finished)
         suspended = bool(res.suspended)
         if res.err == ERR_TAPE_OVERFLOW:
+            if bounded and max_out <= 0:
+                # Budget exhausted exactly at the overflow: a retry with
+                # max_out <= 0 would mean UNBOUNDED to the C side. The
+                # state already holds a clean token-boundary suspend
+                # point, so report suspension instead.
+                suspended = True
+                break
             continue  # state + end_bit resume cleanly with a fresh tape
         raise_for_code(res.err)
         break

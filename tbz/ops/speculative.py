@@ -178,7 +178,11 @@ def tokenize_block_speculative(data: bytes, start_bit: int,
     lit_tab, dist_tab, errs = _build_tables_pair(
         jnp.asarray(lit_pad), jnp.asarray(dist_pad), lit_c, dist_c)
     errs = np.asarray(errs)
-    assert int(errs[0]) == 0 and int(errs[1]) == 0
+    if int(errs[0]) != 0 or int(errs[1]) != 0:
+        # host build_decode_table_checked validated the same code set
+        # above, so a device table error means frontend disagreement —
+        # raise (never assert: reachable from corrupt input under -O)
+        E.raise_for_code(int(errs[0]) or int(errs[1]))
 
     nbits = len(data) * 8
     pad = -(-len(data) // 4) * 4 + 8
@@ -347,7 +351,12 @@ def tokenize_block_speculative(data: bytes, start_bit: int,
     elif use_native:
         ol2, di2, rv2, end_bit, _, tail_eob = _nl.gap_decode(
             data, entry, lit_lens, dist_lens, _empty, 1 << 62)
-        assert tail_eob, "tail decode must end at the block's EOB"
+        if not tail_eob:
+            # reachable with truncated input under `python -O` (asserts
+            # stripped): surface the proper error class, never a
+            # silently short tape
+            raise E.TruncatedError(
+                "block symbol stream ended before its end-of-block code")
     else:
         ol2, di2, rv2, end_bit = seq_decode(entry)
     ol = np.concatenate(toks_ol + [ol2]) if toks_ol else ol2

@@ -92,7 +92,14 @@ def _tokenize_members(payload: bytes, format: str):
             res = frontend.tokenize(body)
             if not res.finished:
                 raise TruncatedError("member body truncated")
-            adler = zlib_fmt.read_trailer(body, (res.end_bit + 7) // 8)
+            data_end = (res.end_bit + 7) // 8
+            adler = zlib_fmt.read_trailer(body, data_end)
+            # mirror the gzip branch: bytes past the adler trailer are
+            # trailing junk, same error class for the same corruption
+            if len(body) > data_end + 4:
+                raise DeflateError(
+                    f"{len(body) - data_end - 4} trailing bytes after "
+                    "zlib trailer")
             members.append(dict(fmt=fmt, body=body, res=res,
                                 kind="adler32", expect=adler, isize=None))
             break
@@ -158,6 +165,34 @@ def decode_streams_sharded(payloads: list[bytes], mesh=None,
 
     member_out: dict = {}
     member_err: dict = {}
+
+    def host_retry(its, cause):
+        """Device-path failure fallback (SURVEY §5.3 host-level retry):
+        re-resolve + re-verify each of the bucket's members on the host
+        frontend, so a TRANSIENT device exception costs throughput, not
+        results. Corrupt members still yield their proper error value."""
+        import zlib as _z
+        try:
+            from ..native import loader as _nl
+            host_resolve = _nl.resolve if _nl.available() else None
+        except ImportError:
+            host_resolve = None
+        if host_resolve is None:
+            from .. import reference as _ref
+            host_resolve = _ref.resolve_host
+        for si, mi, mem in its:
+            try:
+                ob = host_resolve(mem["res"].tape, mem["body"])
+                if verify and mem["kind"] == "crc32":
+                    gzip_fmt.check_trailer(mem["expect"], _z.crc32(ob),
+                                           mem["isize"], len(ob))
+                elif verify and mem["kind"] == "adler32":
+                    zlib_fmt.check_adler(mem["expect"], _z.adler32(ob))
+                member_out[(si, mi)] = ob
+            except DeflateError as e:
+                member_err[si] = e
+                member_out[(si, mi)] = b""
+
     for (T, cap, M), its in buckets.items():
         S_pad = -(-len(its) // ndev) * ndev
         out_len = np.zeros((S_pad, T), np.int32)
@@ -182,18 +217,26 @@ def decode_streams_sharded(payloads: list[bytes], mesh=None,
             spec = P("dp", *([None] * (x.ndim - 1)))
             return jax.device_put(x, NamedSharding(mesh, spec))
 
-        out = _resolve_batch(put(out_len), put(dist), put(root_val),
-                             put(n_tokens), put(total_out), put(inputs),
-                             put(windows), cap)
-        bodies = out[:, W:]
-        # only the checksum kinds present in this bucket (device-resident
-        # input: one D2H per bucket for the outputs, none for checksums)
-        kinds = {mem["kind"] for _, _, mem in its}
-        crcs = (np.asarray(_crc_batch(bodies, jnp.asarray(total_out)))
-                if verify and "crc32" in kinds else None)
-        adlers = (np.asarray(_adler_batch(bodies, jnp.asarray(total_out)))
-                  if verify and "adler32" in kinds else None)
-        host = np.asarray(bodies)
+        try:
+            out = _resolve_batch(put(out_len), put(dist), put(root_val),
+                                 put(n_tokens), put(total_out), put(inputs),
+                                 put(windows), cap)
+            bodies = out[:, W:]
+            # only the checksum kinds present in this bucket (device-
+            # resident input: one D2H per bucket for the outputs, none
+            # for checksums)
+            kinds = {mem["kind"] for _, _, mem in its}
+            crcs = (np.asarray(_crc_batch(bodies, jnp.asarray(total_out)))
+                    if verify and "crc32" in kinds else None)
+            adlers = (np.asarray(_adler_batch(bodies,
+                                              jnp.asarray(total_out)))
+                      if verify and "adler32" in kinds else None)
+            host = np.asarray(bodies)
+        except DeflateError:
+            raise  # data errors are not device trouble; no retry
+        except Exception as e:  # noqa: BLE001 — transient device failure
+            host_retry(its, e)
+            continue
         for i, (si, mi, mem) in enumerate(its):
             ob = host[i, :int(total_out[i])].tobytes()
             try:

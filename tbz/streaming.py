@@ -242,7 +242,14 @@ class _NativeInflater:
     def set_state(self, s: dict):
         self._state = self._loader.new_stream_state()
         raw = s["native_state"]
-        assert len(raw) <= len(self._state.raw)
+        if len(raw) != len(self._state.raw):
+            # TokState is a flat POD struct; a size mismatch means the
+            # blob came from a different build of the native runtime —
+            # memmoving it would misinterpret raw bytes as state.
+            raise ValueError(
+                f"checkpoint native state is {len(raw)} bytes but this "
+                f"build's TokState is {len(self._state.raw)}; restore "
+                "requires the same native runtime version")
         import ctypes
         ctypes.memmove(self._state, raw, len(raw))
         self.window_len = s["window_len"]
@@ -262,6 +269,141 @@ def _make_inflater(window_len: int):
     except ImportError:
         pass
     return IncrementalInflater(window_len)
+
+
+# --- checkpoint blob codec --------------------------------------------------
+# Tag-length-value serialization for Decompressor.checkpoint(): the value
+# universe is closed (scalars, bytes, numpy arrays, the two header
+# dataclasses, lists/dicts of those), so restoring is pure data
+# reconstruction — no pickle, nothing executable in a blob.
+
+_CKPT_MAGIC = b"TBZC\x02"
+
+
+def _ckpt_ser(obj, parts: list):
+    import dataclasses
+    if obj is None:
+        parts.append(b"N")
+    elif obj is True:
+        parts.append(b"T")
+    elif obj is False:
+        parts.append(b"F")
+    elif isinstance(obj, int):
+        b = obj.to_bytes((obj.bit_length() + 8) // 8 or 1, "little",
+                         signed=True)
+        parts.append(b"i" + len(b).to_bytes(1, "little") + b)
+    elif isinstance(obj, (bytes, bytearray, memoryview)):
+        b = bytes(obj)
+        parts.append(b"b" + len(b).to_bytes(8, "little") + b)
+    elif isinstance(obj, str):
+        b = obj.encode("utf-8", "surrogateescape")
+        parts.append(b"s" + len(b).to_bytes(8, "little") + b)
+    elif isinstance(obj, np.ndarray):
+        dt = obj.dtype.str.encode()
+        b = np.ascontiguousarray(obj).tobytes()
+        parts.append(b"a" + len(dt).to_bytes(1, "little") + dt
+                     + len(obj.shape).to_bytes(1, "little"))
+        for d in obj.shape:
+            parts.append(int(d).to_bytes(8, "little"))
+        parts.append(len(b).to_bytes(8, "little") + b)
+    elif isinstance(obj, (list, tuple)):
+        parts.append(b"l" + len(obj).to_bytes(8, "little"))
+        for v in obj:
+            _ckpt_ser(v, parts)
+    elif isinstance(obj, dict):
+        parts.append(b"d" + len(obj).to_bytes(8, "little"))
+        for k, v in obj.items():
+            _ckpt_ser(str(k), parts)
+            _ckpt_ser(v, parts)
+    elif dataclasses.is_dataclass(obj):
+        name = type(obj).__name__
+        if name not in ("GzipHeader", "ZlibHeader"):
+            raise TypeError(f"checkpoint cannot serialize {name}")
+        parts.append(b"H")
+        _ckpt_ser(name, parts)
+        _ckpt_ser(dataclasses.asdict(obj), parts)
+    else:
+        raise TypeError(f"checkpoint cannot serialize {type(obj)!r}")
+
+
+def _ckpt_dumps(obj) -> bytes:
+    parts = [_CKPT_MAGIC]
+    _ckpt_ser(obj, parts)
+    return b"".join(parts)
+
+
+def _ckpt_de(blob: bytes, pos: int):
+    tag = blob[pos:pos + 1]
+    pos += 1
+    if tag == b"N":
+        return None, pos
+    if tag == b"T":
+        return True, pos
+    if tag == b"F":
+        return False, pos
+    if tag == b"i":
+        n = blob[pos]
+        return int.from_bytes(blob[pos + 1:pos + 1 + n], "little",
+                              signed=True), pos + 1 + n
+    if tag in (b"b", b"s"):
+        n = int.from_bytes(blob[pos:pos + 8], "little")
+        raw = blob[pos + 8:pos + 8 + n]
+        if len(raw) != n:
+            raise ValueError("truncated checkpoint blob")
+        return (raw if tag == b"b"
+                else raw.decode("utf-8", "surrogateescape")), pos + 8 + n
+    if tag == b"a":
+        dn = blob[pos]
+        dt = blob[pos + 1:pos + 1 + dn].decode()
+        pos += 1 + dn
+        nd = blob[pos]
+        pos += 1
+        shape = []
+        for _ in range(nd):
+            shape.append(int.from_bytes(blob[pos:pos + 8], "little"))
+            pos += 8
+        n = int.from_bytes(blob[pos:pos + 8], "little")
+        raw = blob[pos + 8:pos + 8 + n]
+        if len(raw) != n:
+            raise ValueError("truncated checkpoint blob")
+        return np.frombuffer(raw, dt).reshape(shape).copy(), pos + 8 + n
+    if tag == b"l":
+        n = int.from_bytes(blob[pos:pos + 8], "little")
+        pos += 8
+        out = []
+        for _ in range(n):
+            v, pos = _ckpt_de(blob, pos)
+            out.append(v)
+        return out, pos
+    if tag == b"d":
+        n = int.from_bytes(blob[pos:pos + 8], "little")
+        pos += 8
+        out = {}
+        for _ in range(n):
+            k, pos = _ckpt_de(blob, pos)
+            v, pos = _ckpt_de(blob, pos)
+            out[k] = v
+        return out, pos
+    if tag == b"H":
+        name, pos = _ckpt_de(blob, pos)
+        fields, pos = _ckpt_de(blob, pos)
+        if name == "GzipHeader":
+            from .formats.gzip_fmt import GzipHeader as K
+        elif name == "ZlibHeader":
+            from .formats.zlib_fmt import ZlibHeader as K
+        else:
+            raise ValueError(f"unknown checkpoint header type {name!r}")
+        return K(**fields), pos
+    raise ValueError(f"bad checkpoint tag {tag!r} at offset {pos - 1}")
+
+
+def _ckpt_loads(blob: bytes):
+    if blob[:len(_CKPT_MAGIC)] != _CKPT_MAGIC:
+        raise ValueError(
+            "not a tbz checkpoint blob (or from an incompatible version): "
+            f"bad magic {blob[:5]!r}")
+    obj, _ = _ckpt_de(blob, len(_CKPT_MAGIC))
+    return obj
 
 
 class Decompressor:
@@ -570,15 +712,18 @@ class Decompressor:
     # one copyable struct (SURVEY §5.4, util.lisp:25-46 save-state). The
     # same contract here: a Decompressor suspends to a serializable blob
     # at any point between decompress() calls and resumes in a fresh
-    # process, byte-exact.
+    # process, byte-exact. Blobs use a versioned tag-length-value format
+    # (_ckpt_dumps below) — restoring NEVER executes code from the blob,
+    # unlike pickle, and a blob from an incompatible build fails loudly
+    # (magic/version check here, native TokState size check in
+    # _NativeInflater.set_state).
 
     def checkpoint(self) -> bytes:
-        import pickle
         inf = self._inflater
         inf_state = None
         if inf is not None:
-            inf_state = (type(inf).__name__, inf.get_state())
-        return pickle.dumps({
+            inf_state = [type(inf).__name__, inf.get_state()]
+        return _ckpt_dumps({
             "format": self.format, "zdict": self.zdict,
             "verify": self.verify, "state": self.state,
             "hdr_buf": self._hdr_buf, "window": self.window,
@@ -591,8 +736,7 @@ class Decompressor:
 
     @classmethod
     def restore(cls, blob: bytes) -> "Decompressor":
-        import pickle
-        s = pickle.loads(blob)
+        s = _ckpt_loads(blob)
         d = cls(s["format"], zdict=s["zdict"], verify=s["verify"])
         d.state = s["state"]
         d._hdr_buf = s["hdr_buf"]

@@ -179,3 +179,15 @@ def test_gzip_fextra_write_side():
     out, info = api.decompress(payload, "gzip", with_info=True)
     assert out == b"x" * 5000
     assert info.members[0].header.subfields() == subs
+
+
+def test_zip_reader_unknown_name_keyerror():
+    import io
+    import zipfile
+    from tbz.formats.zip_fmt import ZipReader
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w", zipfile.ZIP_DEFLATED) as z:
+        z.writestr("a.txt", b"alpha" * 100)
+    zr = ZipReader(buf.getvalue())
+    with pytest.raises(KeyError, match="no item named 'missing.bin'"):
+        zr.read("missing.bin")

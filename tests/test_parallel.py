@@ -155,3 +155,40 @@ def test_sharded_per_stream_errors():
             assert o == streams[i]
     with pytest.raises(DeflateError):
         shard.decode_streams_sharded(payloads, mesh)
+
+
+def test_shard_host_retry_on_device_failure(mesh, monkeypatch):
+    """A TRANSIENT device exception triggers a host re-decode of the
+    bucket's members (SURVEY §5.3 host-level retry); results are still
+    correct, and corrupt members still error."""
+    streams = [corpus(60 + i, 30000) for i in range(4)]
+    payloads = [_gzip.compress(s, 6) for s in streams]
+    bad = bytearray(payloads[3])
+    bad[-6] ^= 0xFF  # corrupt CRC: must error even through the retry
+    payloads[3] = bytes(bad)
+
+    calls = {"n": 0}
+
+    def boom(*a, **k):
+        calls["n"] += 1
+        raise RuntimeError("injected transient device failure")
+
+    monkeypatch.setattr(shard, "_resolve_batch", boom)
+    outs = shard.decode_streams_sharded(payloads, mesh, format="gzip",
+                                        return_errors=True)
+    assert calls["n"] >= 1
+    from tbz.errors import ChecksumError
+    assert outs[:3] == streams[:3]
+    assert isinstance(outs[3], ChecksumError)
+
+
+def test_shard_zlib_trailing_junk_errors(mesh):
+    """Trailing bytes after a zlib trailer classify like the gzip branch
+    (same error class for the same corruption)."""
+    from tbz.errors import DeflateError
+    data = corpus(70, 20000)
+    good = zlib.compress(data, 6)
+    outs = shard.decode_streams_sharded([good, good + b"junk!"], mesh,
+                                        format="zlib", return_errors=True)
+    assert outs[0] == data
+    assert isinstance(outs[1], DeflateError)

@@ -389,3 +389,23 @@ def test_flush_incomplete_does_not_lose_output():
         d.flush()
     rest = d.decompress(payload[len(payload) // 2:]) + d.flush()
     assert first + rest == data
+
+
+def test_checkpoint_blob_is_not_pickle():
+    """Checkpoint blobs are versioned tagged data, not pickle: restoring
+    never executes blob content, bad magic fails loudly, and a native
+    TokState from a different build is rejected by size (ADVICE r2)."""
+    import tbz
+    d = tbz.Decompressor("zlib")
+    d.decompress(zlib.compress(b"hello world " * 100)[:40])
+    blob = d.checkpoint()
+    assert blob[:4] == b"TBZC"
+    with pytest.raises(ValueError):
+        tbz.Decompressor.restore(b"\x80\x04" + blob[2:])  # pickle magic
+    # tampered native-state length must NOT be memmoved
+    from tbz.streaming import _ckpt_loads, _ckpt_dumps, _NativeInflater
+    s = _ckpt_loads(blob)
+    if s["inflater"] and s["inflater"][0] == "_NativeInflater":
+        s["inflater"][1]["native_state"] = b"\x01" * 8
+        with pytest.raises(ValueError):
+            tbz.Decompressor.restore(_ckpt_dumps(s))

@@ -36,12 +36,13 @@ def run(fn, payload):
         return ("err", e.code)
 
 
-def agree(payload):
-    results = {name: run(fn, payload) for name, fn in FRONTENDS.items()}
+def agree(payload, fns=None):
+    results = {name: run(fn, payload)
+               for name, fn in (fns or FRONTENDS).items()}
     vals = list(results.values())
     for v in vals[1:]:
-        assert v == vals[0], (payload.hex(), results.keys(), vals[0][0],
-                              v[0])
+        assert v == vals[0], (payload.hex()[:200], results.keys(),
+                              vals[0][0], v[0])
 
 
 def test_valid_streams():
@@ -72,3 +73,53 @@ def test_random_garbage():
     rng = random.Random(7)
     for _ in range(40):
         agree(bytes(rng.randrange(256) for _ in range(rng.randrange(1, 40))))
+
+
+# --- production device tier (>= SPECULATIVE_MIN_BYTES) ----------------------
+# frontend.tokenize(frontend='device') routes large streams through the
+# speculative multi-lane decoder, NOT tokenize_device — so the fuzz must
+# cover that tier too (deferred distance validation, lane stitching, and
+# native gap decode all sit on corruption-sensitive paths).
+
+def _speculative_frontends():
+    from tbz.ops.tokenize_device import tokenize_auto, SPECULATIVE_MIN_BYTES
+    fns = dict(FRONTENDS)
+    fns["device"] = tokenize_auto
+    # mixed compressible text + incompressible tail keeps the payload
+    # above the tier floor without a huge decode (fuzz budget)
+    rng = random.Random(900)
+    data = corpus(900, 96 << 10) + bytes(rng.randrange(256)
+                                         for _ in range(52 << 10))
+    payload = raw_deflate(data, 9)
+    assert len(payload) >= SPECULATIVE_MIN_BYTES
+    return fns, payload
+
+
+def test_speculative_tier_valid():
+    fns, payload = _speculative_frontends()
+    agree(payload, fns)
+    # multi-block: stored + static + dynamic mix stays >= the tier floor
+    co = zlib.compressobj(9, zlib.DEFLATED, -15)
+    mixed = (co.compress(corpus(901, 40 << 10)) + co.flush(zlib.Z_FULL_FLUSH)
+             + raw_deflate(b"\x00" * 70000, 0))
+    # stitch the two raw streams: strip the first's final-block flag is
+    # not needed — Z_FULL_FLUSH keeps bfinal=0; the stored tail carries it
+    agree(bytes(mixed), fns)
+
+
+def test_speculative_tier_bitflips():
+    fns, payload = _speculative_frontends()
+    payload = bytearray(payload)
+    rng = random.Random(31337)
+    for _ in range(25):
+        i = rng.randrange(len(payload))
+        b = 1 << rng.randrange(8)
+        payload[i] ^= b
+        agree(bytes(payload), fns)
+        payload[i] ^= b
+
+
+def test_speculative_tier_truncations():
+    fns, payload = _speculative_frontends()
+    for cut in (len(payload) - 1, len(payload) * 2 // 3, 64 << 10):
+        agree(payload[:cut], fns)
