@@ -1318,35 +1318,31 @@ namespace {
 constexpr int kChunkOut = 65536;       // output bytes per device chunk
 constexpr int kSpanMax = 255;          // max span length (fits 512B fetch)
 constexpr int kLitLocalBase = 98304;   // 32K window + 64K chunk
-}  // namespace
 
-struct SpanPlan {
-  int64_t n_tokens_padded;
-  int64_t n_batches;
-  int64_t n_chunks;
-  int64_t lit_bytes;
-  int64_t total_out;
-  int32_t max_gen;
-  int32_t err;
+struct Span {
+  int64_t src;  // global output coord (negative = window/dict), or
+                // litbuf offset when lit
+  int64_t dst;
+  int32_t len;
+  int32_t gen;
+  bool lit;
 };
 
-extern "C" int32_t tbz_plan_spans(
-    const int32_t* out_len, const int32_t* dist, const int32_t* root_val,
-    int64_t n_tokens, const uint8_t* input, int64_t input_size,
-    int64_t window_len, int64_t batch_size,
-    int32_t* sp_srclen, int32_t* sp_dst, int64_t tok_cap,
-    int32_t* b_chunk, int32_t* b_first, int32_t* b_litrow, int64_t batch_cap,
-    uint8_t* litbuf, int64_t lit_cap, SpanPlan* plan) {
-  struct Span {
-    int64_t src;  // global output coord (negative = window/dict), or
-                  // litbuf offset when lit
-    int64_t dst;
-    int32_t len;
-    int32_t gen;
-    bool lit;
-  };
+// Phases 1/1b/1c shared by both device planners: expand the token tape
+// into non-overlapping plain-copy spans + packed literal bytes, flatten
+// copy genealogies via the window-limited source redirect, and assign
+// chunk-local generations. With row_chop, spans are additionally split
+// at 128B OUTPUT-row boundaries so every span lands in exactly one
+// output row (the grid kernel's contract); the classic kernel instead
+// caps at kSpanMax and scatters up to three rows per span.
+int32_t build_span_list(const int32_t* out_len, const int32_t* dist,
+                        const int32_t* root_val, int64_t n_tokens,
+                        const uint8_t* input, int64_t input_size,
+                        bool row_chop, uint8_t* litbuf, int64_t lit_cap,
+                        std::vector<Span>& spans, int64_t& lit_used_out,
+                        int64_t& total_out_arg, int32_t& max_gen_out) {
   // --- phase 1: expand tape into non-overlapping spans + litbuf -------------
-  std::vector<Span> spans;
+  spans.clear();
   spans.reserve(size_t(n_tokens) + 1024);
   int64_t total = 0;
   for (int64_t i = 0; i < n_tokens; i++) total += out_len[i];
@@ -1355,7 +1351,10 @@ extern "C" int32_t tbz_plan_spans(
   int64_t lit_used = 0;
   int32_t max_gen = 0;
   int32_t err = OK;
-  (void)max_gen;
+  // output positions chop at this unit: 128 divides kChunkOut, so the
+  // row chop subsumes the chunk chop
+  const int64_t unit = row_chop ? 128 : kChunkOut;
+  const int64_t span_max = row_chop ? 128 : kSpanMax;
 
   auto emit_lit_bytes = [&](const uint8_t* data, int64_t n) {
     // pack bytes; merge with a preceding adjacent literal span; split at
@@ -1365,13 +1364,13 @@ extern "C" int32_t tbz_plan_spans(
         err = ERR_TAPE_OVERFLOW;
         return;
       }
-      int64_t room = kChunkOut - (p % kChunkOut);
+      int64_t room = unit - (p % unit);
       if (!spans.empty()) {
         Span& last = spans.back();
         if (last.lit && last.dst + last.len == p &&
-            last.src + last.len == lit_used && last.len < kSpanMax &&
-            room > 0 && (p % kChunkOut) != 0) {
-          int64_t grow = kSpanMax - last.len;
+            last.src + last.len == lit_used && last.len < span_max &&
+            room > 0 && (p % unit) != 0) {
+          int64_t grow = span_max - last.len;
           if (grow > room) grow = room;
           if (grow > n) grow = n;
           if (lit_used + grow > lit_cap) {
@@ -1387,7 +1386,7 @@ extern "C" int32_t tbz_plan_spans(
           continue;
         }
       }
-      int32_t t = int32_t(n < kSpanMax ? n : kSpanMax);
+      int32_t t = int32_t(n < span_max ? n : span_max);
       if (t > room) t = int32_t(room);
       if (lit_used + t > lit_cap) {
         err = ERR_TAPE_OVERFLOW;
@@ -1420,13 +1419,13 @@ extern "C" int32_t tbz_plan_spans(
       }
       continue;
     }
-    // match: doubling decomposition to non-overlap, 255-cap, chunk split
+    // match: doubling decomposition to non-overlap, span-max cap, unit split
     int64_t c = 0;
     while (c < l && err == OK) {
       int64_t D = int64_t(d) * (c / d + 1);  // largest multiple of d <= c+d
-      int64_t t = D < kSpanMax ? D : kSpanMax;
+      int64_t t = D < span_max ? D : span_max;
       if (t > l - c) t = l - c;
-      int64_t room = kChunkOut - ((p + c) % kChunkOut);
+      int64_t room = unit - ((p + c) % unit);
       if (t > room) t = room;
       int64_t dst = p + c;
       int64_t src = dst - D;
@@ -1437,7 +1436,6 @@ extern "C" int32_t tbz_plan_spans(
   }
   if (err != OK) {
     delete[] gen_byte;
-    plan->err = err;
     return err;
   }
 
@@ -1553,6 +1551,38 @@ extern "C" int32_t tbz_plan_spans(
     for (int64_t k = 0; k < s.len; k++) gen_byte[s.dst + k] = uint16_t(g);
   }
   delete[] gen_byte;
+  lit_used_out = lit_used;
+  total_out_arg = total;
+  max_gen_out = max_gen;
+  return err;
+}
+
+}  // namespace
+
+struct SpanPlan {
+  int64_t n_tokens_padded;
+  int64_t n_batches;
+  int64_t n_chunks;
+  int64_t lit_bytes;
+  int64_t total_out;
+  int32_t max_gen;
+  int32_t err;
+};
+
+extern "C" int32_t tbz_plan_spans(
+    const int32_t* out_len, const int32_t* dist, const int32_t* root_val,
+    int64_t n_tokens, const uint8_t* input, int64_t input_size,
+    int64_t window_len, int64_t batch_size,
+    int32_t* sp_srclen, int32_t* sp_dst, int64_t tok_cap,
+    int32_t* b_chunk, int32_t* b_first, int32_t* b_litrow, int64_t batch_cap,
+    uint8_t* litbuf, int64_t lit_cap, SpanPlan* plan) {
+  (void)window_len;
+  std::vector<Span> spans;
+  int64_t lit_used = 0, total = 0;
+  int32_t max_gen = 0;
+  int32_t err = build_span_list(out_len, dist, root_val, n_tokens, input,
+                                input_size, /*row_chop=*/false, litbuf,
+                                lit_cap, spans, lit_used, total, max_gen);
   if (err != OK) {
     plan->err = err;
     return err;
@@ -1658,6 +1688,196 @@ extern "C" int32_t tbz_plan_spans(
   plan->n_chunks = n_chunks;
   plan->lit_bytes = lit_used;
   plan->total_out = total;
+  plan->max_gen = max_gen;
+  plan->err = OK;
+  return OK;
+}
+
+// ---- grid span planner (round 3) ------------------------------------------
+// Layout for the GRID resolver kernel (ops/resolve_spans.py
+// _resolve_grid_impl): every span targets exactly ONE 128B output row
+// (build_span_list row_chop), and a batch is kGridG ROW-GROUPS x K SLOTS.
+// Each row-group carries a target-row index (g_row), so the kernel sums
+// its K aligned slot contributions densely and lands the whole batch
+// with ONE kGridG-row scatter-add — instead of 3 scatter rows PER SPAN,
+// the round-2 kernel's measured floor (~83M scatter rows/s).
+//
+// Batches are not generation-pure but DEPENDENCY-SAFE: spans are packed
+// in generation order, and a span whose source rows were written by the
+// current (open) batch flushes it first — all reads in a batch see only
+// previous batches' bytes, which is the only ordering the scan needs.
+// A 512-bit row bitmap per open batch makes the check O(rows/span).
+
+namespace {
+constexpr int kGridG = 512;  // row-groups per grid batch
+}
+
+struct GridPlan {
+  int64_t n_slots;     // NB * kGridG * K (capacity actually written)
+  int64_t n_batches;
+  int64_t n_chunks;
+  int64_t lit_bytes;
+  int64_t total_out;
+  int64_t n_spans;     // real spans placed (utilization = n_spans/n_slots)
+  int32_t max_gen;
+  int32_t err;
+};
+
+extern "C" int32_t tbz_plan_spans_grid(
+    const int32_t* out_len, const int32_t* dist, const int32_t* root_val,
+    int64_t n_tokens, const uint8_t* input, int64_t input_size,
+    int64_t window_len, int64_t K,
+    int32_t* sp_srclen, uint8_t* sp_dstoff, int64_t slot_cap,
+    int32_t* g_row, int64_t group_cap,
+    int32_t* b_chunk, int32_t* b_first, int32_t* b_litrow, int64_t batch_cap,
+    uint8_t* litbuf, int64_t lit_cap, GridPlan* plan) {
+  (void)window_len;
+  std::vector<Span> spans;
+  int64_t lit_used = 0, total = 0;
+  int32_t max_gen = 0;
+  int32_t err = build_span_list(out_len, dist, root_val, n_tokens, input,
+                                input_size, /*row_chop=*/true, litbuf,
+                                lit_cap, spans, lit_used, total, max_gen);
+  if (err != OK) {
+    plan->err = err;
+    return err;
+  }
+
+  int64_t n_chunks = total ? (total + kChunkOut - 1) / kChunkOut : 1;
+  int64_t ns = int64_t(spans.size());
+  int64_t si = 0;
+  int64_t nb = 0;       // batches emitted
+  int64_t gi_total = 0; // groups emitted (nb boundary = gi_total % kGridG)
+  int64_t n_spans = 0;
+  std::vector<int32_t> order;
+  // per-open-batch state
+  int16_t grp_of_row[512];       // row -> open group index in cur batch
+  uint8_t fill_of_row[512];      // slots used in that group
+  uint64_t written[8];           // 512-bit dst-row bitmap of cur batch
+
+  for (int64_t ch = 0; ch < n_chunks; ch++) {
+    int64_t lo = si;
+    int64_t chunk_end = (ch + 1) * kChunkOut;
+    while (si < ns && spans[si].dst < chunk_end) si++;
+    int64_t cnt = si - lo;
+    // chunk's litbuf base row (lit spans in [lo,si) are contiguous)
+    int64_t lit_lo = 0;
+    for (int64_t k = lo; k < si; k++)
+      if (spans[k].lit) {
+        lit_lo = spans[k].src;
+        break;
+      }
+    int64_t lit_row_lo = lit_lo >> 7;
+    // counting sort by gen (stable)
+    int32_t gmax = 0;
+    for (int64_t k = lo; k < si; k++)
+      if (spans[k].gen > gmax) gmax = spans[k].gen;
+    std::vector<int32_t> cnts(size_t(gmax) + 2, 0);
+    for (int64_t k = lo; k < si; k++) cnts[spans[k].gen]++;
+    std::vector<int32_t> offs(size_t(gmax) + 2, 0);
+    for (int32_t g = 1; g <= gmax + 1; g++)
+      offs[g] = offs[g - 1] + cnts[g - 1];
+    order.assign(size_t(cnt), 0);
+    {
+      std::vector<int32_t> cursor(offs.begin(), offs.end());
+      for (int64_t k = lo; k < si; k++)
+        order[size_t(cursor[spans[k].gen]++)] = int32_t(k - lo);
+    }
+
+    int64_t chunk_base_local = ch * kChunkOut - 32768;  // local 0 in global
+    bool batch_open = false;
+    bool first_of_chunk = true;
+
+    auto open_batch = [&]() -> bool {
+      if (nb >= batch_cap || (nb + 1) * kGridG > group_cap ||
+          (nb + 1) * kGridG * K > slot_cap)
+        return false;
+      b_chunk[nb] = int32_t(ch);
+      b_first[nb] = first_of_chunk ? 1 : 0;
+      b_litrow[nb] = int32_t(lit_row_lo);
+      first_of_chunk = false;
+      std::memset(grp_of_row, -1, sizeof(grp_of_row));
+      std::memset(fill_of_row, 0, sizeof(fill_of_row));
+      std::memset(written, 0, sizeof(written));
+      // pre-pad the batch: len=0 slots aligned to harmless row 0
+      std::memset(sp_srclen + nb * kGridG * K, 0,
+                  size_t(kGridG * K) * 4);
+      std::memset(sp_dstoff + nb * kGridG * K, 0, size_t(kGridG * K));
+      std::memset(g_row + nb * kGridG, 0, size_t(kGridG) * 4);
+      batch_open = true;
+      return true;
+    };
+    auto close_batch = [&]() {
+      if (!batch_open) return;
+      nb++;
+      gi_total = nb * kGridG;
+      batch_open = false;
+    };
+
+    for (int64_t oi = 0; oi < cnt; oi++) {
+      const Span& s = spans[size_t(lo + order[size_t(oi)])];
+      int64_t dst_local = s.dst - chunk_base_local;     // [32768, 98304)
+      int32_t drow = int32_t(dst_local >> 7);           // local row 256..767
+      int64_t src_local =
+          s.lit ? kLitLocalBase + (s.src - (lit_row_lo << 7))
+                : s.src - chunk_base_local;
+      // dependency check: source rows inside this chunk's output region
+      // that the OPEN batch already wrote force a flush
+      if (batch_open && !s.lit) {
+        int32_t r0 = int32_t(src_local >> 7);
+        int32_t r1 = int32_t((src_local + s.len - 1) >> 7);
+        for (int32_t r = r0; r <= r1; r++) {
+          if (r >= 256 && r < 768 &&
+              (written[(r - 256) >> 6] >> ((r - 256) & 63)) & 1) {
+            close_batch();
+            break;
+          }
+        }
+      }
+      int32_t row9 = drow - 256;                        // 0..511
+      // find/allocate the row's open group
+      int64_t slot_base = -1;
+      int32_t slot = -1;
+      if (batch_open && grp_of_row[row9] >= 0 && fill_of_row[row9] < K) {
+        slot_base = (nb * kGridG + grp_of_row[row9]) * K;
+        slot = fill_of_row[row9]++;
+      } else {
+        if (batch_open && gi_total - nb * kGridG >= kGridG) close_batch();
+        if (!batch_open && !open_batch()) {
+          plan->err = ERR_TAPE_OVERFLOW;
+          return ERR_TAPE_OVERFLOW;
+        }
+        int32_t g_idx = int32_t(gi_total - nb * kGridG);
+        gi_total++;
+        g_row[nb * kGridG + g_idx] = drow;
+        grp_of_row[row9] = int16_t(g_idx);
+        fill_of_row[row9] = 1;
+        slot_base = (nb * kGridG + g_idx) * K;
+        slot = 0;
+      }
+      sp_srclen[slot_base + slot] =
+          int32_t(src_local) | (int32_t(s.len) << 18);
+      sp_dstoff[slot_base + slot] = uint8_t(dst_local & 127);
+      written[row9 >> 6] |= uint64_t(1) << (row9 & 63);
+      n_spans++;
+    }
+    close_batch();
+    if (first_of_chunk) {
+      // chunk with no spans (only when total==0): emit a padding batch
+      // so the scan still performs the chunk transition + publish
+      if (!open_batch()) {
+        plan->err = ERR_TAPE_OVERFLOW;
+        return ERR_TAPE_OVERFLOW;
+      }
+      close_batch();
+    }
+  }
+  plan->n_slots = nb * kGridG * K;
+  plan->n_batches = nb;
+  plan->n_chunks = n_chunks;
+  plan->lit_bytes = lit_used;
+  plan->total_out = total;
+  plan->n_spans = n_spans;
   plan->max_gen = max_gen;
   plan->err = OK;
   return OK;

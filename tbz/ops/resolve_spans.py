@@ -132,6 +132,174 @@ def _resolve_spans_impl(srclen, dst, b_first, b_chunk,
     return out
 
 
+# --- grid resolver (round 3) ------------------------------------------------
+# Round-2 profiling pinned the classic kernel's floor at the scatter-add:
+# THREE 128B scatter rows per span at ~83M rows/s, with average spans of
+# 4-8 bytes (30-50x write amplification). The grid formulation removes
+# per-span scatters entirely: the planner (frontend.cc
+# tbz_plan_spans_grid) chops every span to a single 128B output row and
+# packs batches as 512 ROW-GROUPS x K SLOTS, so the kernel
+#   - fetches ONE 256B frame per slot (row gather from the VMEM-sized
+#     local table, the one fast dynamic-indexing primitive here),
+#   - barrel-aligns in uint32 lanes (4x fewer vector elements than the
+#     round-2 uint8 barrel, and 384B wide instead of 640B),
+#   - sums each group's K masked slots densely, and
+#   - lands the whole batch with ONE 512-row scatter-add (dup rows fine).
+# Per 2048-span batch that is 512 scatter rows instead of 6144.
+
+GRID_G = 512  # row-groups per batch (= frontend.cc kGridG)
+
+
+@functools.partial(jax.jit, static_argnames=("n_rows_out",))
+def _resolve_grid_impl(srclen, dstoff, g_rows, b_first, b_chunk, b_litrow,
+                       litrows, window_rows, n_rows_out: int):
+    """srclen (NB,G,K) int32 = src|len<<18 in chunk-local byte coords;
+    dstoff (NB,G,K) uint8 in-row byte offset; g_rows (NB,G) int32 target
+    LOCAL row per group; litrows (LR,32)/window_rows (W_ROWS,32) uint32
+    word rows (little-endian bytes). Returns (n_rows_out, 32) uint32:
+    output byte j = byte (j&3) of word [j>>7, (j>>2)&31]."""
+    NB, G, K = srclen.shape
+    B = G * K
+    out0 = jnp.zeros((n_rows_out, 32), jnp.uint32)
+    local0 = jnp.zeros((LOCAL_ROWS, 32), jnp.uint32).at[:W_ROWS].set(
+        window_rows)
+    lane128 = jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1)
+
+    def step(carry, xs):
+        out, local = carry
+        sl, off, gr, first, ch, litrow = xs
+
+        def transition(local):
+            win = jnp.where(ch > 0,
+                            local[CHUNK_ROWS:W_ROWS + CHUNK_ROWS],
+                            local[:W_ROWS])
+            lit = jax.lax.dynamic_slice(litrows, (litrow, 0),
+                                        (LIT_ROWS, 32))
+            return (jnp.zeros_like(local)
+                    .at[:W_ROWS].set(win)
+                    .at[W_ROWS + CHUNK_ROWS:].set(lit))
+
+        local = jax.lax.cond(first == 1, transition, lambda l: l, local)
+
+        sl_f = sl.reshape(B)
+        src = sl_f & 0x3FFFF
+        ln = jax.lax.shift_right_logical(sl_f, 18) & 0xFF
+        o = off.reshape(B).astype(jnp.int32)
+
+        # 256B source frames: overlapping stride-128 view as one table
+        # (row i = words of rows i, i+1), ONE row fetch per slot
+        t2 = jnp.concatenate(
+            [local,
+             jnp.concatenate([local[1:], jnp.zeros((1, 32), jnp.uint32)],
+                             axis=0)], axis=1)          # (LOCAL_ROWS, 64)
+        u = src >> 7
+        a = src & 127
+        frame = t2[u]                                   # (B, 64)
+
+        # barrel: shift flat bytes LEFT by m = a-o+128 in [1,255];
+        # 6 word stages + 2 byte-in-word stages, all uint32 lanes
+        m = a - o + 128
+        x = jnp.concatenate([jnp.zeros((B, 32), jnp.uint32), frame],
+                            axis=1)                     # (B, 96)
+        q = m >> 2
+        r = m & 3
+        for k in range(6):
+            s = 1 << k
+            rolled = jnp.concatenate(
+                [x[:, s:], jnp.zeros((B, s), jnp.uint32)], axis=1)
+            bit = ((q >> k) & 1).astype(bool)[:, None]
+            x = jnp.where(bit, rolled, x)
+        for k in range(2):
+            sb = 8 << k
+            nxt = jnp.concatenate(
+                [x[:, 1:], jnp.zeros((B, 1), jnp.uint32)], axis=1)
+            shifted = (jax.lax.shift_right_logical(x, jnp.uint32(sb))
+                       | (nxt << jnp.uint32(32 - sb)))
+            bit = ((r >> k) & 1).astype(bool)[:, None]
+            x = jnp.where(bit, shifted, x)
+        al = x[:, :32]                                  # (B, 32)
+
+        # byte-granular span mask [o, o+len), built u8 then bitcast
+        mask8 = jnp.where((lane128 >= o[:, None])
+                          & (lane128 < (o + ln)[:, None]),
+                          jnp.uint8(0xFF), jnp.uint8(0))
+        mask = jax.lax.bitcast_convert_type(
+            mask8.reshape(B, 32, 4), jnp.uint32)
+        al = al & mask
+
+        # dense K-reduction per group (disjoint bytes: add == or), then
+        # ONE scatter-add of G rows for the whole batch
+        contrib = (al.reshape(G, K, 32)
+                   .sum(axis=1, dtype=jnp.uint32))      # (G, 32)
+        local = local.at[gr].add(contrib)
+        out = jax.lax.dynamic_update_slice(
+            out, local[W_ROWS:W_ROWS + CHUNK_ROWS], (ch * CHUNK_ROWS, 0))
+        return (out, local), None
+
+    (out, local), _ = jax.lax.scan(
+        step, (out0, local0),
+        (srclen, dstoff, g_rows, b_first, b_chunk, b_litrow))
+    return out
+
+
+def stage_grid_plan(plan, window: bytes = b""):
+    """Stage a host GridPlan into the padded argument tuple for
+    _resolve_grid_impl. Returns (args, n_rows_out)."""
+    NB = max(plan.n_batches, 1)
+    NB_pad = _pad_batches(NB)
+    G, K = GRID_G, plan.K
+    srclen = np.zeros((NB_pad, G, K), np.int32)
+    dstoff = np.zeros((NB_pad, G, K), np.uint8)
+    g_rows = np.zeros((NB_pad, G), np.int32)
+    srclen[:NB] = plan.srclen.reshape(NB, G, K)
+    dstoff[:NB] = plan.dstoff.reshape(NB, G, K)
+    g_rows[:NB] = plan.g_row.reshape(NB, G)
+    b_first = np.zeros(NB_pad, np.int32)
+    b_chunk = np.zeros(NB_pad, np.int32)
+    b_litrow = np.zeros(NB_pad, np.int32)
+    b_first[:NB] = plan.b_first
+    b_chunk[:NB] = plan.b_chunk
+    b_litrow[:NB] = plan.b_litrow
+    b_chunk[NB:] = plan.b_chunk[NB - 1] if NB else 0
+
+    lit_rows_used = -(-max(plan.lit_bytes, 1) // 128)
+    LR = _pow2(lit_rows_used + LIT_ROWS + 1, floor=LIT_ROWS + 8)
+    lit8 = np.zeros(LR * 128, np.uint8)
+    lit8[:plan.lit_bytes] = plan.litbuf[:plan.lit_bytes]
+    litrows = lit8.view("<u4").reshape(LR, 32)
+
+    w8 = np.zeros(W_ROWS * 128, np.uint8)
+    if window:
+        w = np.frombuffer(bytes(window)[-32768:], np.uint8)
+        w8[32768 - len(w):] = w
+    wrows = w8.view("<u4").reshape(W_ROWS, 32)
+
+    n_rows_out = _pow2(int(plan.n_chunks)) * CHUNK_ROWS
+    args = (srclen, dstoff, g_rows, b_first, b_chunk, b_litrow, litrows,
+            wrows)
+    return args, n_rows_out
+
+
+def resolve_grid_device(tape, input_bytes, window: bytes = b"",
+                        K: int = 4):
+    """Plan on host (C++ grid planner), resolve on device. Returns
+    (device uint32 word rows, total_out)."""
+    from ..native import loader
+    plan = loader.plan_spans_grid(tape, input_bytes,
+                                  window_len=len(window), K=K)
+    args, n_rows_out = stage_grid_plan(plan, window)
+    rows = _resolve_grid_impl(*(jnp.asarray(a) for a in args), n_rows_out)
+    return rows, plan.total_out
+
+
+def resolve_grid_bytes(tape, input_bytes, window: bytes = b"",
+                       K: int = 4) -> bytes:
+    """Convenience: grid-resolve and fetch to host bytes."""
+    rows, total = resolve_grid_device(tape, input_bytes, window, K=K)
+    host = np.ascontiguousarray(np.asarray(rows))
+    return bytes(host.view(np.uint8).reshape(-1)[:total])
+
+
 def _pow2(n: int, floor: int = 1) -> int:
     n = max(n, floor)
     return 1 << (n - 1).bit_length()

@@ -1,0 +1,117 @@
+"""Grid span resolver (ops/resolve_spans._resolve_grid_impl + native
+tbz_plan_spans_grid) — byte-exact against stdlib zlib across content
+classes, window carry, stored blocks, K variants, and structure fuzz.
+
+Same contract as the classic resolver (deflate.lisp:244-359 semantics):
+the planner chops spans at 128B output rows and packs dependency-safe
+row-group batches so the kernel lands each batch with one scatter-add.
+"""
+
+import random
+import zlib
+
+import numpy as np
+import pytest
+
+from tbz import reference
+from tbz.native import loader
+from tbz.ops import resolve_spans as rs
+
+from util import corpus
+
+pytestmark = pytest.mark.skipif(not loader.available(),
+                                reason="needs native planner")
+
+
+def roundtrip(data, level=9, window=b"", K=4):
+    if window:
+        co = zlib.compressobj(level, zlib.DEFLATED, -15, zdict=window)
+    else:
+        co = zlib.compressobj(level, zlib.DEFLATED, -15)
+    payload = co.compress(data) + co.flush()
+    res = reference.tokenize_host(payload, 0, window_len=len(window))
+    return rs.resolve_grid_bytes(res.tape, payload, window, K=K)
+
+
+@pytest.mark.parametrize("name,data", [
+    ("empty", b""),
+    ("one", b"x"),
+    ("run", b"a" * 200000),
+    ("repeat", b"hello world " * 20000),
+    ("text", corpus(11, 1 << 18)),
+    ("cross-chunk", corpus(12, (1 << 17) + 12345)),
+])
+def test_roundtrip_classes(name, data):
+    assert roundtrip(data) == data
+
+
+@pytest.mark.parametrize("K", [2, 4, 8])
+def test_slot_width_variants(K):
+    data = corpus(33, 1 << 17)
+    assert roundtrip(data, K=K) == data
+
+
+def test_stored_blocks():
+    data = corpus(13, 150000)
+    co = zlib.compressobj(0, zlib.DEFLATED, -15)
+    payload = co.compress(data) + co.flush()
+    res = reference.tokenize_host(payload, 0)
+    assert rs.resolve_grid_bytes(res.tape, payload, b"") == data
+
+
+def test_preset_dictionary_window():
+    data = corpus(14, 50000)
+    zdict = corpus(15, 4000)
+    assert roundtrip(data, window=zdict) == data
+    big_dict = corpus(16, 40000)
+    assert roundtrip(data, window=big_dict[-32768:]) == data
+
+
+def test_deep_overlap_chains():
+    data = (b"\x00" * 1000 + b"ab" * 700 + b"xyz" * 500) * 40
+    assert roundtrip(data) == data
+
+
+def test_structure_fuzz():
+    rng = random.Random(21)
+    nprng = np.random.default_rng(21)
+    for _ in range(6):
+        parts = []
+        for _ in range(rng.randrange(1, 6)):
+            k = rng.randrange(5)
+            if k == 0:
+                parts.append(bytes([rng.randrange(256)])
+                             * rng.randrange(1, 70000))
+            elif k == 1:
+                parts.append(bytes(nprng.integers(
+                    0, 256, rng.randrange(1, 40000), dtype=np.uint8)))
+            elif k == 2:
+                parts.append((b"pat%d" % rng.randrange(10))
+                             * rng.randrange(1, 6000))
+            elif k == 3:
+                parts.append(corpus(rng.randrange(100), 20000))
+            else:
+                parts.append(b"ab" * rng.randrange(1, 30000))
+        data = b"".join(parts)
+        level = rng.choice([0, 1, 6, 9])
+        assert roundtrip(data, level) == data, (len(data), level)
+
+
+def test_grid_planner_invariants():
+    """Every slot is a plain single-row copy: len <= 128, the dst row
+    offset + len stays inside the 128B row, and group target rows stay
+    inside the chunk region of the local space."""
+    data = corpus(17, 1 << 18)
+    payload = zlib.compress(data, 6)[2:-4]
+    res = reference.tokenize_host(payload, 0)
+    plan = loader.plan_spans_grid(res.tape, payload, K=4)
+    G, K = loader.GRID_G, plan.K
+    sl = plan.srclen.reshape(plan.n_batches, G, K)
+    off = plan.dstoff.reshape(plan.n_batches, G, K).astype(np.int32)
+    ln = sl >> 18
+    live = ln > 0
+    assert (ln <= 128).all()
+    assert (off[live] + ln[live] <= 128).all()
+    rows = plan.g_row.reshape(plan.n_batches, G)
+    assert (rows >= 0).all() and (rows < 768).all()
+    assert plan.n_spans == int(live.sum())
