@@ -1747,19 +1747,30 @@ extern "C" int32_t tbz_plan_spans_grid(
   int64_t ns = int64_t(spans.size());
   int64_t si = 0;
   int64_t nb = 0;       // batches emitted
-  int64_t gi_total = 0; // groups emitted (nb boundary = gi_total % kGridG)
   int64_t n_spans = 0;
-  std::vector<int32_t> order;
-  // per-open-batch state
-  int16_t grp_of_row[512];       // row -> open group index in cur batch
-  uint8_t fill_of_row[512];      // slots used in that group
-  uint64_t written[8];           // 512-bit dst-row bitmap of cur batch
+
+  // List-scheduled packing (round 3, replacing flush-on-dependency):
+  // every batch of a chunk stays open simultaneously; each span goes to
+  // the earliest batch after the batches that wrote its source BYTES
+  // (byte-granular last-writer map), falling forward only when that
+  // batch's group table is full. This packs many generations into each
+  // batch, so batches-per-chunk drops to ~max(dependency depth,
+  // ceil(groups / kGridG)) — the flush heuristic fragmented to ~4x that
+  // (measured 47 median batches/chunk vs depth 12 on the bench mix).
+  struct GBatch {
+    std::vector<int32_t> rows;     // g_row per group
+    std::vector<int32_t> srclen;   // groups*K slot payloads
+    std::vector<uint8_t> dstoff;
+    std::vector<uint8_t> fill;     // slots used per group
+    int16_t grp_of_row[512];       // row -> open group index, -1 none
+  };
+  std::vector<GBatch> cb;                   // current chunk's batches
+  std::vector<int32_t> last_w(kChunkOut);   // chunk byte -> writer batch
 
   for (int64_t ch = 0; ch < n_chunks; ch++) {
     int64_t lo = si;
     int64_t chunk_end = (ch + 1) * kChunkOut;
     while (si < ns && spans[si].dst < chunk_end) si++;
-    int64_t cnt = si - lo;
     // chunk's litbuf base row (lit spans in [lo,si) are contiguous)
     int64_t lit_lo = 0;
     for (int64_t k = lo; k < si; k++)
@@ -1768,108 +1779,97 @@ extern "C" int32_t tbz_plan_spans_grid(
         break;
       }
     int64_t lit_row_lo = lit_lo >> 7;
-    // counting sort by gen (stable)
-    int32_t gmax = 0;
-    for (int64_t k = lo; k < si; k++)
-      if (spans[k].gen > gmax) gmax = spans[k].gen;
-    std::vector<int32_t> cnts(size_t(gmax) + 2, 0);
-    for (int64_t k = lo; k < si; k++) cnts[spans[k].gen]++;
-    std::vector<int32_t> offs(size_t(gmax) + 2, 0);
-    for (int32_t g = 1; g <= gmax + 1; g++)
-      offs[g] = offs[g - 1] + cnts[g - 1];
-    order.assign(size_t(cnt), 0);
-    {
-      std::vector<int32_t> cursor(offs.begin(), offs.end());
-      for (int64_t k = lo; k < si; k++)
-        order[size_t(cursor[spans[k].gen]++)] = int32_t(k - lo);
-    }
 
     int64_t chunk_base_local = ch * kChunkOut - 32768;  // local 0 in global
-    bool batch_open = false;
-    bool first_of_chunk = true;
+    cb.clear();
+    std::fill(last_w.begin(), last_w.end(), -1);
 
-    auto open_batch = [&]() -> bool {
-      if (nb >= batch_cap || (nb + 1) * kGridG > group_cap ||
-          (nb + 1) * kGridG * K > slot_cap)
-        return false;
-      b_chunk[nb] = int32_t(ch);
-      b_first[nb] = first_of_chunk ? 1 : 0;
-      b_litrow[nb] = int32_t(lit_row_lo);
-      first_of_chunk = false;
-      std::memset(grp_of_row, -1, sizeof(grp_of_row));
-      std::memset(fill_of_row, 0, sizeof(fill_of_row));
-      std::memset(written, 0, sizeof(written));
-      // pre-pad the batch: len=0 slots aligned to harmless row 0
-      std::memset(sp_srclen + nb * kGridG * K, 0,
-                  size_t(kGridG * K) * 4);
-      std::memset(sp_dstoff + nb * kGridG * K, 0, size_t(kGridG * K));
-      std::memset(g_row + nb * kGridG, 0, size_t(kGridG) * 4);
-      batch_open = true;
-      return true;
-    };
-    auto close_batch = [&]() {
-      if (!batch_open) return;
-      nb++;
-      gi_total = nb * kGridG;
-      batch_open = false;
-    };
-
-    for (int64_t oi = 0; oi < cnt; oi++) {
-      const Span& s = spans[size_t(lo + order[size_t(oi)])];
+    for (int64_t k = lo; k < si; k++) {
+      const Span& s = spans[size_t(k)];
       int64_t dst_local = s.dst - chunk_base_local;     // [32768, 98304)
       int32_t drow = int32_t(dst_local >> 7);           // local row 256..767
+      int32_t row9 = drow - 256;                        // 0..511
       int64_t src_local =
           s.lit ? kLitLocalBase + (s.src - (lit_row_lo << 7))
                 : s.src - chunk_base_local;
-      // dependency check: source rows inside this chunk's output region
-      // that the OPEN batch already wrote force a flush
-      if (batch_open && !s.lit) {
-        int32_t r0 = int32_t(src_local >> 7);
-        int32_t r1 = int32_t((src_local + s.len - 1) >> 7);
-        for (int32_t r = r0; r <= r1; r++) {
-          if (r >= 256 && r < 768 &&
-              (written[(r - 256) >> 6] >> ((r - 256) & 63)) & 1) {
-            close_batch();
-            break;
-          }
+      // earliest legal batch: after every batch that writes a source
+      // byte inside this chunk's output region (window rows and litbuf
+      // are resolved before any batch runs)
+      int32_t b0 = 0;
+      if (!s.lit) {
+        int64_t a = src_local < 32768 ? 32768 : src_local;
+        int64_t e = src_local + s.len;
+        if (e > 98304) e = 98304;
+        for (int64_t x = a; x < e; x++) {
+          int32_t w = last_w[size_t(x - 32768)];
+          if (w >= b0) b0 = w + 1;
         }
       }
-      int32_t row9 = drow - 256;                        // 0..511
-      // find/allocate the row's open group
-      int64_t slot_base = -1;
-      int32_t slot = -1;
-      if (batch_open && grp_of_row[row9] >= 0 && fill_of_row[row9] < K) {
-        slot_base = (nb * kGridG + grp_of_row[row9]) * K;
-        slot = fill_of_row[row9]++;
-      } else {
-        if (batch_open && gi_total - nb * kGridG >= kGridG) close_batch();
-        if (!batch_open && !open_batch()) {
-          plan->err = ERR_TAPE_OVERFLOW;
-          return ERR_TAPE_OVERFLOW;
+      // place in the earliest batch >= b0 with room for the dst row
+      for (;;) {
+        if (b0 >= int32_t(cb.size())) {
+          cb.emplace_back();
+          std::memset(cb.back().grp_of_row, -1, sizeof(cb.back().grp_of_row));
         }
-        int32_t g_idx = int32_t(gi_total - nb * kGridG);
-        gi_total++;
-        g_row[nb * kGridG + g_idx] = drow;
-        grp_of_row[row9] = int16_t(g_idx);
-        fill_of_row[row9] = 1;
-        slot_base = (nb * kGridG + g_idx) * K;
-        slot = 0;
+        GBatch& B = cb[size_t(b0)];
+        int32_t g = B.grp_of_row[row9];
+        if (g >= 0 && B.fill[size_t(g)] < K) {
+          B.srclen[size_t(g) * K + B.fill[size_t(g)]] =
+              int32_t(src_local) | (int32_t(s.len) << 18);
+          B.dstoff[size_t(g) * K + B.fill[size_t(g)]] =
+              uint8_t(dst_local & 127);
+          B.fill[size_t(g)]++;
+          break;
+        }
+        if (int64_t(B.rows.size()) < kGridG) {
+          g = int32_t(B.rows.size());
+          B.rows.push_back(drow);
+          B.srclen.resize(B.srclen.size() + size_t(K), 0);
+          B.dstoff.resize(B.dstoff.size() + size_t(K), 0);
+          B.fill.push_back(1);
+          B.grp_of_row[row9] = int16_t(g);
+          B.srclen[size_t(g) * K] =
+              int32_t(src_local) | (int32_t(s.len) << 18);
+          B.dstoff[size_t(g) * K] = uint8_t(dst_local & 127);
+          break;
+        }
+        b0++;  // batch's group table full; fall forward
       }
-      sp_srclen[slot_base + slot] =
-          int32_t(src_local) | (int32_t(s.len) << 18);
-      sp_dstoff[slot_base + slot] = uint8_t(dst_local & 127);
-      written[row9 >> 6] |= uint64_t(1) << (row9 & 63);
+      for (int64_t x = dst_local; x < dst_local + s.len; x++)
+        last_w[size_t(x - 32768)] = b0;
       n_spans++;
     }
-    close_batch();
-    if (first_of_chunk) {
-      // chunk with no spans (only when total==0): emit a padding batch
-      // so the scan still performs the chunk transition + publish
-      if (!open_batch()) {
-        plan->err = ERR_TAPE_OVERFLOW;
-        return ERR_TAPE_OVERFLOW;
+    if (cb.empty()) cb.emplace_back();  // empty chunk: one padding batch
+                                        // so the scan still transitions
+
+    // emit the chunk's batches in dependency order
+    if (nb + int64_t(cb.size()) > batch_cap ||
+        (nb + int64_t(cb.size())) * kGridG > group_cap ||
+        (nb + int64_t(cb.size())) * kGridG * K > slot_cap) {
+      plan->err = ERR_TAPE_OVERFLOW;
+      return ERR_TAPE_OVERFLOW;
+    }
+    for (size_t bi = 0; bi < cb.size(); bi++) {
+      const GBatch& B = cb[bi];
+      b_chunk[nb] = int32_t(ch);
+      b_first[nb] = bi == 0 ? 1 : 0;
+      b_litrow[nb] = int32_t(lit_row_lo);
+      int64_t gbase = nb * kGridG;
+      int64_t ng = int64_t(B.rows.size());
+      if (ng)
+        std::memcpy(g_row + gbase, B.rows.data(), size_t(ng) * 4);
+      std::memset(g_row + gbase + ng, 0, size_t(kGridG - ng) * 4);
+      if (ng) {
+        std::memcpy(sp_srclen + gbase * K, B.srclen.data(),
+                    size_t(ng) * size_t(K) * 4);
+        std::memcpy(sp_dstoff + gbase * K, B.dstoff.data(),
+                    size_t(ng) * size_t(K));
       }
-      close_batch();
+      std::memset(sp_srclen + (gbase + ng) * K, 0,
+                  size_t(kGridG - ng) * size_t(K) * 4);
+      std::memset(sp_dstoff + (gbase + ng) * K, 0,
+                  size_t(kGridG - ng) * size_t(K));
+      nb++;
     }
   }
   plan->n_slots = nb * kGridG * K;
