@@ -1883,6 +1883,293 @@ extern "C" int32_t tbz_plan_spans_grid(
   return OK;
 }
 
+// ---- flat span planner (round 3) ------------------------------------------
+// Layout for the FLAT resolver kernel (ops/resolve_spans.py
+// _resolve_flat_impl), designed from the round-3 on-chip profile of the
+// grid kernel: per-step cost there was ~20 small ops (chunk-transition
+// cond, local-table rebuild, publish DUS, 256B two-row frames), none
+// dominant — op-soup overhead, not the gather primitive, was the floor.
+// The flat form deletes the chunk machinery entirely:
+//  - literal/stored bytes are written directly into the host-prefilled
+//    output buffer (out0) and NEVER enter the kernel — only match spans
+//    remain (typically 30-40% fewer slots);
+//  - the device table IS the output array (256 window rows prepended),
+//    in global row coordinates: no local table, no window carry, no
+//    chunk transition, no publish;
+//  - spans are chopped at 128B boundaries of BOTH dst and src, so every
+//    slot is one single-row frame fetch (table[u], 32 words) + an
+//    in-register barrel shift — src-chop costs only ~len/128 extra
+//    spans (~4% at typical lengths);
+//  - batches are G row-groups x K slots, list-scheduled GLOBALLY
+//    (byte-granular last-writer over the whole output, no chunk
+//    boundaries), so batch count ~ max(dependency depth, groups/G).
+// Streams are limited to <2GB - 32KB by int32 table byte addresses.
+
+// Full-flattening chase limits: measured on the bench mix (2MB), a
+// split budget of 30x spans + 256 hops collapses the global dependency
+// depth from 565 to ~50 at only +17% spans (saturates: 200x/1024 gives
+// the same), which is what lets batches be big AND full.
+#ifndef BUDX
+#define BUDX 30
+#endif
+#ifndef HOPX
+#define HOPX 256
+#endif
+struct FlatPlan {
+  int64_t n_batches;
+  int64_t total_out;
+  int64_t n_spans;
+  int32_t err;
+};
+
+extern "C" int32_t tbz_plan_spans_flat(
+    const int32_t* out_len, const int32_t* dist, const int32_t* root_val,
+    int64_t n_tokens, const uint8_t* input, int64_t input_size,
+    int64_t window_len, int64_t G, int64_t K,
+    int32_t* sp_srcaddr, int16_t* sp_lenoff, int64_t slot_cap,
+    int32_t* g_row, int64_t group_cap, int64_t batch_cap,
+    uint8_t* out0, int64_t out0_cap, FlatPlan* plan) {
+  (void)window_len;
+  plan->n_batches = 0;
+  plan->n_spans = 0;
+  int64_t total = 0;
+  for (int64_t i = 0; i < n_tokens; i++) total += out_len[i];
+  plan->total_out = total;
+  if (total > (int64_t(1) << 31) - 65536 || total > out0_cap) {
+    plan->err = ERR_TAPE_OVERFLOW;
+    return ERR_TAPE_OVERFLOW;
+  }
+  std::memset(out0, 0, size_t(total));
+
+  struct FSpan {
+    int32_t src;  // global byte coord, may be negative (window/dict)
+    int32_t dst;
+    int32_t len;
+  };
+  std::vector<FSpan> spans;
+  spans.reserve(size_t(n_tokens) + size_t(total >> 8) + 64);
+
+  // --- phase 1: literals/stored straight into out0; matches to spans,
+  // doubling decomposition + dst 128B-row chop
+  int64_t p = 0;
+  for (int64_t i = 0; i < n_tokens; i++) {
+    int32_t l = out_len[i];
+    int32_t d = dist[i];
+    if (d == 0) {
+      if (root_val[i] & STORED_FLAG) {
+        int64_t off = root_val[i] & (STORED_FLAG - 1);
+        if (off + l > input_size) {
+          plan->err = ERR_TRUNCATED;
+          return ERR_TRUNCATED;
+        }
+        std::memcpy(out0 + p, input + off, size_t(l));
+      } else {
+        out0[p] = uint8_t(root_val[i]);
+      }
+      p += l;
+      continue;
+    }
+    int64_t c = 0;
+    while (c < l) {
+      int64_t D = int64_t(d) * (c / d + 1);  // non-overlap distance
+      int64_t t = D < 128 ? D : 128;
+      if (t > l - c) t = l - c;
+      int64_t dst = p + c;
+      int64_t room = 128 - (dst & 127);
+      if (t > room) t = room;
+      spans.push_back({int32_t(dst - D), int32_t(dst), int32_t(t)});
+      c += t;
+    }
+    p += l;
+  }
+
+  // --- phase 1b: source redirect, global reach (the table holds the
+  // whole output, so any already-resolved source is addressable; chase
+  // fully-contained sources to flat ancestors, split on straddles)
+  {
+    int64_t ns0 = int64_t(spans.size());
+    auto find_span = [&](int64_t pos) -> int64_t {
+      int64_t lo = 0, hi = ns0 - 1, ans = -1;
+      while (lo <= hi) {
+        int64_t mid = (lo + hi) >> 1;
+        if (spans[size_t(mid)].dst <= pos) {
+          ans = mid;
+          lo = mid + 1;
+        } else {
+          hi = mid - 1;
+        }
+      }
+      return ans;
+    };
+    std::vector<int32_t> memo_src(size_t(ns0), 0);
+    std::vector<uint8_t> memo_ok(size_t(ns0), 0);
+    std::vector<FSpan> flat;
+    flat.reserve(spans.size() + spans.size() / 2);
+    int64_t split_budget = int64_t(spans.size()) * BUDX + 1024;
+    std::vector<FSpan> pend;
+    for (int64_t i = 0; i < ns0; i++) {
+      const FSpan& s0 = spans[size_t(i)];
+      FSpan cur = s0;
+      bool was_split = false;
+      pend.clear();
+      for (;;) {
+        for (int hops = 0; hops < HOPX; hops++) {
+          if (cur.src < 0) break;  // window/dict, resolved from step 0
+          int64_t ti = find_span(cur.src);
+          if (ti < 0) break;
+          const FSpan& t = spans[size_t(ti)];
+          int64_t t_end = int64_t(t.dst) + t.len;
+          if (cur.src >= t_end) break;  // lit/stored bytes (gen 0)
+          if (int64_t(cur.src) + cur.len <= t_end) {
+            if (memo_ok[size_t(ti)]) {
+              cur.src = memo_src[size_t(ti)] + (cur.src - t.dst);
+              break;  // memo target is already flat
+            }
+            cur.src -= t.dst - t.src;
+          } else if (split_budget > 0) {
+            int64_t l1 = t_end - cur.src;
+            pend.push_back({int32_t(cur.src + l1), int32_t(cur.dst + l1),
+                            int32_t(cur.len - l1)});
+            cur.len = int32_t(l1);
+            split_budget--;
+            was_split = true;
+          } else {
+            break;
+          }
+        }
+        flat.push_back(cur);
+        if (pend.empty()) break;
+        cur = pend.back();
+        pend.pop_back();
+      }
+      if (!was_split) {
+        memo_src[size_t(i)] = flat.back().src;
+        memo_ok[size_t(i)] = 1;
+      }
+    }
+    spans.swap(flat);
+  }
+
+  // --- phase 1c: src 128B-row chop (single-row frame contract). Table
+  // byte address = src + 32768 (window rows 0..255); a span must not
+  // straddle a table row, and the window offset preserves 128-alignment.
+  {
+    std::vector<FSpan> chopped;
+    chopped.reserve(spans.size() + spans.size() / 16);
+    for (const FSpan& s : spans) {
+      int32_t a = (s.src + 32768) & 127;
+      if (a + s.len <= 128) {
+        chopped.push_back(s);
+      } else {
+        int32_t l1 = 128 - a;
+        chopped.push_back({s.src, s.dst, l1});
+        chopped.push_back({s.src + l1, s.dst + l1, s.len - l1});
+      }
+    }
+    spans.swap(chopped);
+  }
+
+  // --- phase 2: global list scheduling into (G x K) batches ----------------
+  // Spans arrive in dst order, so all spans of one dst row are
+  // consecutive: per-row open-group state is a small list reset at each
+  // row change. last_w is byte-granular over the output.
+  std::vector<int32_t> last_w(size_t(total), -1);
+  struct BatchBuf {
+    std::vector<int32_t> rows;
+    std::vector<int32_t> srcaddr;  // groups*K
+    std::vector<int16_t> lenoff;
+    std::vector<uint8_t> fill;
+  };
+  std::vector<BatchBuf> bs;
+  int32_t cur_row = -1;
+  // open groups of cur_row: (batch, group index) pairs
+  std::vector<std::pair<int32_t, int32_t>> row_open;
+  int64_t n_spans = 0;
+
+  for (const FSpan& s : spans) {
+    int32_t drow = s.dst >> 7;
+    if (drow != cur_row) {
+      cur_row = drow;
+      row_open.clear();
+    }
+    int32_t b0 = 0;
+    {
+      int64_t a = s.src < 0 ? 0 : s.src;
+      int64_t e = int64_t(s.src) + s.len;
+      for (int64_t x = a; x < e; x++) {
+        int32_t w = last_w[size_t(x)];
+        if (w >= b0) b0 = w + 1;
+      }
+    }
+    int32_t chosen = -1, gidx = -1;
+    for (;;) {
+      if (b0 >= int32_t(bs.size())) {
+        if (int64_t(bs.size()) >= batch_cap ||
+            (int64_t(bs.size()) + 1) * G > group_cap ||
+            (int64_t(bs.size()) + 1) * G * K > slot_cap) {
+          plan->err = ERR_TAPE_OVERFLOW;
+          return ERR_TAPE_OVERFLOW;
+        }
+        bs.emplace_back();
+      }
+      BatchBuf& B = bs[size_t(b0)];
+      gidx = -1;
+      for (auto& pr : row_open)
+        if (pr.first == b0 && B.fill[size_t(pr.second)] < K) {
+          gidx = pr.second;
+          break;
+        }
+      if (gidx >= 0) {
+        chosen = b0;
+        break;
+      }
+      if (int64_t(B.rows.size()) < G) {
+        gidx = int32_t(B.rows.size());
+        B.rows.push_back(256 + drow);
+        B.srcaddr.resize(B.srcaddr.size() + size_t(K), 0);
+        B.lenoff.resize(B.lenoff.size() + size_t(K), 0);
+        B.fill.push_back(0);
+        row_open.emplace_back(b0, gidx);
+        chosen = b0;
+        break;
+      }
+      b0++;
+    }
+    BatchBuf& B = bs[size_t(chosen)];
+    int32_t slot = B.fill[size_t(gidx)]++;
+    B.srcaddr[size_t(gidx) * K + slot] = s.src + 32768;
+    B.lenoff[size_t(gidx) * K + slot] =
+        int16_t(((s.dst & 127) << 8) | s.len);
+    for (int64_t x = s.dst; x < int64_t(s.dst) + s.len; x++)
+      last_w[size_t(x)] = chosen;
+    n_spans++;
+  }
+
+  // --- emit ---------------------------------------------------------------
+  int64_t nb = int64_t(bs.size());
+  for (int64_t b = 0; b < nb; b++) {
+    const BatchBuf& B = bs[size_t(b)];
+    int64_t ng = int64_t(B.rows.size());
+    if (ng)
+      std::memcpy(g_row + b * G, B.rows.data(), size_t(ng) * 4);
+    std::memset(g_row + b * G + ng, 0, size_t(G - ng) * 4);
+    if (ng) {
+      std::memcpy(sp_srcaddr + b * G * K, B.srcaddr.data(),
+                  size_t(ng) * size_t(K) * 4);
+      std::memcpy(sp_lenoff + b * G * K, B.lenoff.data(),
+                  size_t(ng) * size_t(K) * 2);
+    }
+    std::memset(sp_srcaddr + (b * G + ng) * K, 0,
+                size_t(G - ng) * size_t(K) * 4);
+    std::memset(sp_lenoff + (b * G + ng) * K, 0,
+                size_t(G - ng) * size_t(K) * 2);
+  }
+  plan->n_batches = nb;
+  plan->n_spans = n_spans;
+  plan->err = OK;
+  return OK;
+}
+
 // ---- near-optimal parse ---------------------------------------------------
 // Cost-model shortest-path parse (the zopfli/libdeflate family of
 // techniques, implemented from the idea): forward DP over byte positions

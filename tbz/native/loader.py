@@ -52,6 +52,35 @@ class _GridPlanC(ctypes.Structure):
     ]
 
 
+class _FlatPlanC(ctypes.Structure):
+    _fields_ = [
+        ("n_batches", ctypes.c_int64),
+        ("total_out", ctypes.c_int64),
+        ("n_spans", ctypes.c_int64),
+        ("err", ctypes.c_int32),
+        ("pad_", ctypes.c_int32),
+    ]
+
+
+class FlatPlan:
+    """Host-side FLAT-resolver plan (frontend.cc tbz_plan_spans_flat):
+    literals pre-placed in out0 (uint8, row-padded), match spans packed
+    as (G row-groups x K slots) batches in global table coordinates
+    (table = 256 window rows + output rows; srcaddr = src + 32768)."""
+
+    def __init__(self, srcaddr, lenoff, g_row, out0, n_batches,
+                 total_out, n_spans, G, K):
+        self.srcaddr = srcaddr
+        self.lenoff = lenoff
+        self.g_row = g_row
+        self.out0 = out0
+        self.n_batches = n_batches
+        self.total_out = total_out
+        self.n_spans = n_spans
+        self.G = G
+        self.K = K
+
+
 class GridPlan:
     """Host-side grid-resolver plan (frontend.cc tbz_plan_spans_grid):
     per batch, 512 row-groups x K slots; srclen packs src|len<<18,
@@ -236,6 +265,17 @@ def _load():
             ctypes.POINTER(ctypes.c_int32), ctypes.c_int64,
             ctypes.POINTER(ctypes.c_uint8), ctypes.c_int64,
             ctypes.POINTER(_GridPlanC)]
+        lib.tbz_plan_spans_flat.restype = ctypes.c_int32
+        lib.tbz_plan_spans_flat.argtypes = [
+            ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int32),
+            ctypes.POINTER(ctypes.c_int32), ctypes.c_int64,
+            ctypes.c_char_p, ctypes.c_int64, ctypes.c_int64,
+            ctypes.c_int64, ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int16),
+            ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_int32), ctypes.c_int64, ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_uint8), ctypes.c_int64,
+            ctypes.POINTER(_FlatPlanC)]
         lib.tbz_match_optimal.restype = ctypes.c_int64
         lib.tbz_match_optimal.argtypes = [
             ctypes.c_char_p, ctypes.c_int64, ctypes.c_int32, ctypes.c_int32,
@@ -435,6 +475,51 @@ def plan_spans_grid(tape, input_bytes, window_len: int = 0,
             n_batches=nb, n_chunks=int(res.n_chunks),
             lit_bytes=int(res.lit_bytes), total_out=int(res.total_out),
             n_spans=int(res.n_spans), max_gen=int(res.max_gen), K=K)
+
+
+def plan_spans_flat(tape, input_bytes, window_len: int = 0,
+                    G: int = 2048, K: int = 2) -> FlatPlan:
+    """Plan the FLAT device resolve (frontend.cc tbz_plan_spans_flat):
+    literals host-prefilled into out0, match spans chopped to single
+    src/dst 128B rows and globally list-scheduled into (G x K) batches.
+    Streams are capped at <2GB by int32 table addresses."""
+    lib = _load()
+    dptr, dlen, _keep = _buf(input_bytes)
+    n = len(tape)
+    ol = np.ascontiguousarray(tape.out_len, np.int32)
+    di = np.ascontiguousarray(tape.dist, np.int32)
+    rv = np.ascontiguousarray(tape.root_val, np.int32)
+    total = int(tape.total_out)
+    if total > (1 << 31) - 65536:
+        raise ValueError("flat resolver caps streams below 2GB "
+                         "(int32 table addresses)")
+    rows_out = max(1, -(-total // 128))
+    out0 = np.zeros(rows_out * 128, np.uint8)
+    batch_cap = (2 * n + total // 16) // G + 64
+    while True:
+        slot_cap = batch_cap * G * K
+        srcaddr = np.empty(slot_cap, np.int32)
+        lenoff = np.empty(slot_cap, np.int16)
+        g_row = np.empty(batch_cap * G, np.int32)
+        res = _FlatPlanC()
+        err = lib.tbz_plan_spans_flat(
+            _i32p(ol), _i32p(di), _i32p(rv), n, dptr, dlen,
+            window_len, G, K,
+            _i32p(srcaddr),
+            lenoff.ctypes.data_as(ctypes.POINTER(ctypes.c_int16)), slot_cap,
+            _i32p(g_row), batch_cap * G, batch_cap,
+            out0.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+            len(out0), ctypes.byref(res))
+        if err == ERR_TAPE_OVERFLOW:
+            batch_cap *= 2
+            continue
+        raise_for_code(err)
+        nb = int(res.n_batches)
+        return FlatPlan(
+            srcaddr=srcaddr[:nb * G * K], lenoff=lenoff[:nb * G * K],
+            g_row=g_row[:nb * G], out0=out0,
+            n_batches=nb, total_out=int(res.total_out),
+            n_spans=int(res.n_spans), G=G, K=K)
 
 
 def new_stream_state():

@@ -300,16 +300,137 @@ def resolve_grid_bytes(tape, input_bytes, window: bytes = b"",
     return bytes(host.view(np.uint8).reshape(-1)[:total])
 
 
+# --- flat resolver (round 3b) -----------------------------------------------
+# Designed from the on-chip profile of the grid kernel: its ~30-57us
+# scan step was ~20 small ops (chunk-transition cond, local-table
+# rebuild, 256B two-row frames, publish DUS) with nothing dominant —
+# per-op overhead, not the gather primitive, was the floor. The flat
+# kernel deletes the chunk machinery: literals are host-prefilled into
+# the output (never enter the kernel), the carried table IS the output
+# array (256 window rows prepended, global row coords), and spans are
+# chopped at src AND dst 128B rows so each slot is ONE single-row frame
+# fetch. Per step: gather, pad, 8 barrel selects, mask, K-reduce,
+# scatter-add — ~10 ops on larger batches (G=2048 x K=2 default).
+
+
+@functools.partial(jax.jit, static_argnames=("n_rows_out",))
+def _resolve_flat_impl(srcaddr, lenoff, g_rows, out0, window_rows,
+                       n_rows_out: int):
+    """srcaddr (NB,G,K) int32 table byte address (= global src + 32768);
+    lenoff (NB,G,K) int16 = dstoff<<8 | len; g_rows (NB,G) int32 target
+    table row; out0 (n_rows_out,32)/window_rows (256,32) uint32 word
+    rows. Returns (n_rows_out, 32) uint32 resolved output rows."""
+    NB, G, K = srcaddr.shape
+    B = G * K
+    table0 = jnp.concatenate([window_rows, out0], axis=0)
+    lane128 = jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1)
+
+    def step(table, xs):
+        sa, lo_, gr = xs
+        sa_f = sa.reshape(B)
+        u = sa_f >> 7
+        a = sa_f & 127
+        lo_f = lo_.reshape(B).astype(jnp.int32)
+        o = jax.lax.shift_right_logical(lo_f, 8) & 127
+        ln = lo_f & 255
+
+        frame = table[u]                                # (B, 32) u32
+        # barrel: shift flat bytes LEFT by m = a-o+128 in [1,255];
+        # 6 word stages + 2 byte-in-word stages
+        m = a - o + 128
+        x = jnp.concatenate([jnp.zeros((B, 32), jnp.uint32), frame],
+                            axis=1)                     # (B, 64)
+        q = m >> 2
+        r = m & 3
+        for k in range(6):
+            s = 1 << k
+            rolled = jnp.concatenate(
+                [x[:, s:], jnp.zeros((B, s), jnp.uint32)], axis=1)
+            bit = ((q >> k) & 1).astype(bool)[:, None]
+            x = jnp.where(bit, rolled, x)
+        for k in range(2):
+            sb = 8 << k
+            nxt = jnp.concatenate(
+                [x[:, 1:], jnp.zeros((B, 1), jnp.uint32)], axis=1)
+            shifted = (jax.lax.shift_right_logical(x, jnp.uint32(sb))
+                       | (nxt << jnp.uint32(32 - sb)))
+            bit = ((r >> k) & 1).astype(bool)[:, None]
+            x = jnp.where(bit, shifted, x)
+        al = x[:, :32]                                  # (B, 32)
+
+        mask8 = jnp.where((lane128 >= o[:, None])
+                          & (lane128 < (o + ln)[:, None]),
+                          jnp.uint8(0xFF), jnp.uint8(0))
+        mask = jax.lax.bitcast_convert_type(
+            mask8.reshape(B, 32, 4), jnp.uint32)
+        al = al & mask
+
+        contrib = (al.reshape(G, K, 32)
+                   .sum(axis=1, dtype=jnp.uint32))      # (G, 32)
+        table = table.at[gr].add(contrib)
+        return table, None
+
+    table, _ = jax.lax.scan(step, table0, (srcaddr, lenoff, g_rows))
+    return table[W_ROWS:]
+
+
+def stage_flat_plan(plan, window: bytes = b""):
+    """Stage a host FlatPlan into the padded argument tuple for
+    _resolve_flat_impl. Returns (args, n_rows_out)."""
+    NB = max(plan.n_batches, 1)
+    NB_pad = _pad_batches(NB, floor=4)
+    G, K = plan.G, plan.K
+    srcaddr = np.zeros((NB_pad, G, K), np.int32)
+    lenoff = np.zeros((NB_pad, G, K), np.int16)
+    g_rows = np.zeros((NB_pad, G), np.int32)
+    if plan.n_batches:
+        srcaddr[:NB] = plan.srcaddr.reshape(NB, G, K)
+        lenoff[:NB] = plan.lenoff.reshape(NB, G, K)
+        g_rows[:NB] = plan.g_row.reshape(NB, G)
+
+    n_rows_out = _pow2(-(-max(plan.total_out, 1) // 128))
+    o8 = np.zeros(n_rows_out * 128, np.uint8)
+    o8[:plan.out0.size] = plan.out0
+    out0 = o8.view("<u4").reshape(n_rows_out, 32)
+
+    w8 = np.zeros(W_ROWS * 128, np.uint8)
+    if window:
+        w = np.frombuffer(bytes(window)[-32768:], np.uint8)
+        w8[32768 - len(w):] = w
+    wrows = w8.view("<u4").reshape(W_ROWS, 32)
+    return (srcaddr, lenoff, g_rows, out0, wrows), n_rows_out
+
+
+def resolve_flat_device(tape, input_bytes, window: bytes = b"",
+                        G: int = 2048, K: int = 2):
+    """Plan on host (C++ flat planner), resolve on device. Returns
+    (device uint32 word rows, total_out)."""
+    from ..native import loader
+    plan = loader.plan_spans_flat(tape, input_bytes,
+                                  window_len=len(window), G=G, K=K)
+    args, n_rows_out = stage_flat_plan(plan, window)
+    rows = _resolve_flat_impl(*(jnp.asarray(a) for a in args), n_rows_out)
+    return rows, plan.total_out
+
+
+def resolve_flat_bytes(tape, input_bytes, window: bytes = b"",
+                       G: int = 2048, K: int = 2) -> bytes:
+    """Convenience: flat-resolve and fetch to host bytes."""
+    rows, total = resolve_flat_device(tape, input_bytes, window, G=G, K=K)
+    host = np.ascontiguousarray(np.asarray(rows))
+    return bytes(host.view(np.uint8).reshape(-1)[:total])
+
+
 def _pow2(n: int, floor: int = 1) -> int:
     n = max(n, floor)
     return 1 << (n - 1).bit_length()
 
 
-def _pad_batches(n: int) -> int:
+def _pad_batches(n: int, floor: int = 16) -> int:
     """Batch-count shape ladder: pow2 AND 1.5*pow2 steps (max ~33%
     padding — padded batches run the full per-step kernel cost, so pow2
     alone wasted up to half the scan)."""
-    n = max(n, 16)
+    n = max(n, floor)
     p = 1 << (n - 1).bit_length()
     if n <= p // 2 + p // 4:
         return p // 2 + p // 4
