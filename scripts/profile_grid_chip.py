@@ -38,15 +38,22 @@ def main():
     data = make_corpus(8 << 20)
     payload = zlib.compress(data, 6)[2:-4]
     tape = reference.tokenize_host(payload, 0).tape
-    plan = loader.plan_spans_grid(tape, payload, K=4)
-    np_args, n_rows = rs.stage_grid_plan(plan)
+    variant = sys.argv[1] if len(sys.argv) > 1 else "grid"
+    if variant == "flat":
+        plan = loader.plan_spans_flat(tape, payload, G=4096, K=4)
+        np_args, n_rows = rs.stage_flat_plan(plan)
+        impl = rs._resolve_flat_impl
+    else:
+        plan = loader.plan_spans_grid(tape, payload, K=4)
+        np_args, n_rows = rs.stage_grid_plan(plan)
+        impl = rs._resolve_grid_impl
     args = [jax.device_put(jnp.asarray(a)) for a in np_args]
-    log(f"[prof] n_batches={plan.n_batches} n_spans={plan.n_spans}")
+    log(f"[prof] variant={variant} n_batches={plan.n_batches} n_spans={plan.n_spans}")
 
     @functools.partial(jax.jit, static_argnames=("n_rows_out",))
     def grid_sum(*a, n_rows_out, salt):
         first = a[0] + (salt - salt)
-        out = rs._resolve_grid_impl(first, *a[1:], n_rows_out)
+        out = impl(first, *a[1:], n_rows_out)
         return jnp.sum(out, dtype=jnp.uint32)
 
     int(grid_sum(*args, n_rows_out=n_rows, salt=jnp.uint32(0)))  # warm

@@ -22,10 +22,12 @@ _STATIC_LIT_LENS = C.FIXED_LITLEN_LENGTHS
 _STATIC_DIST_LENS = C.FIXED_DIST_LENGTHS
 
 
-# level -> (max_chain, iters) for the cost-model DP parse; levels 1-3
-# use the greedy/lazy hash-chain matcher (speed tier).
-_OPTIMAL_CFG = {4: (32, 1), 5: (64, 1), 6: (160, 1), 7: (384, 2),
-                8: (512, 3), 9: (2048, 3)}
+# level -> (max_chain, iters, nice_len) for the cost-model DP parse;
+# levels 1-3 use the greedy/lazy hash-chain matcher (speed tier).
+# nice_len stops a candidate walk once a match that long is found
+# (speed; 258 = never stop early).
+_OPTIMAL_CFG = {4: (32, 1, 48), 5: (64, 1, 96), 6: (160, 1, 160),
+                7: (384, 2, 258), 8: (512, 3, 258), 9: (2048, 3, 258)}
 
 
 def tokenize_for_encode(data: bytes, level: int):
@@ -39,8 +41,8 @@ def tokenize_for_encode(data: bytes, level: int):
         from .native import loader
         if loader.available():
             if level in _OPTIMAL_CFG:
-                chain, iters = _OPTIMAL_CFG[level]
-                return loader.lz77_match_optimal(data, chain, iters)
+                chain, iters, nice = _OPTIMAL_CFG[level]
+                return loader.lz77_match_optimal(data, chain, iters, nice)
             return loader.lz77_match(data, level)
     except ImportError:
         pass

@@ -2327,18 +2327,30 @@ struct CostModel {
 extern "C" {
 
 // Near-optimal parse. iters: cost-model refinement rounds (>=1);
-// max_chain bounds the per-position candidate walk. Returns token count
-// or -1 on cap overflow. Memory is O(segment), not O(n): the DP runs
-// over ~4MB segments with a forced token break at each boundary (the
-// 32KB match window still crosses segments via wrapped hash chains).
+// max_chain bounds the per-position candidate walk; nice_len stops the
+// walk once a match that long is found (<=0: never). Returns token
+// count or -1 on cap overflow. Memory is O(segment), not O(n): the DP
+// runs over ~2MB segments with a forced token break at each boundary
+// (the 32KB match window still crosses segments via wrapped chains).
+//
+// Speed structure (round 3): candidates come from a 4-byte hash chain
+// (an order of magnitude less false-candidate pollution than the
+// 3-byte chain on text) plus a single most-recent 3-byte probe for the
+// len-3 edge; match improvements are kept as (len, dist) BREAKPOINTS
+// so the relax loop computes dist_symbol_of once per breakpoint
+// segment instead of per length (the old per-length lookup was ~30 ops
+// x up to 255 lengths per position on matchy data).
 int64_t tbz_match_optimal(const uint8_t* b, int64_t n, int32_t max_chain,
-                          int32_t iters, int32_t* out_len, int32_t* dist,
+                          int32_t iters, int32_t nice_len,
+                          int32_t* out_len, int32_t* dist,
                           int32_t* lit, int64_t cap) {
-  constexpr int HBITS = 15, HSIZE = 1 << HBITS;
+  constexpr int H3BITS = 15, H3SIZE = 1 << H3BITS;
+  constexpr int H4BITS = 16, H4SIZE = 1 << H4BITS;
   constexpr int MIN_MATCH = 3, MAX_MATCH = 258, MAX_DIST = 32768;
   constexpr int WMASK = 0xFFFF;  // wrapped prev-chain (2x window)
   constexpr int64_t SEG = 2 << 20;
   constexpr int CACHE_BP = 8;    // longest-match cache breakpoints
+  constexpr int MAX_BP = 48;     // in-walk breakpoint cap
   if (n == 0) return 0;
   if (n < MIN_MATCH) {
     if (n > cap) return -1;
@@ -2349,19 +2361,20 @@ int64_t tbz_match_optimal(const uint8_t* b, int64_t n, int32_t max_chain,
     }
     return n;
   }
+  const int nice = nice_len > 0 ? nice_len : MAX_MATCH;
 
-  int32_t* head = new int32_t[HSIZE];
+  int32_t* head4 = new int32_t[H4SIZE];
+  int32_t* head3 = new int32_t[H3SIZE];
   int64_t* prev = new int64_t[WMASK + 1];
   int64_t seg_cap = n < SEG ? n : SEG;
   // dp packed as (cost<<25 | len<<16 | dist): branchless int64 mins in
   // the relax loop auto-vectorize, and backtracking reads len/dist from
   // the winning entry — one array instead of three
   uint64_t* dp = new uint64_t[seg_cap + 1];
-  int32_t* sublen = new int32_t[MAX_MATCH + 1];
   // longest-match cache: cost-model iterations >= 1 reuse iteration 0's
   // chain walks (the measured bottleneck — cost scales ~linearly with
-  // chain depth) via sublen breakpoints; positions whose sublen step
-  // function has more than CACHE_BP steps stay uncached (rare)
+  // chain depth) via breakpoints; positions with more than CACHE_BP
+  // breakpoints stay uncached (rare)
   uint16_t* c_bp = nullptr;
   uint8_t* c_n = nullptr;
   if (iters > 1) {
@@ -2375,13 +2388,31 @@ int64_t tbz_match_optimal(const uint8_t* b, int64_t n, int32_t max_chain,
 
   auto hash3 = [&](int64_t i) -> uint32_t {
     return ((uint32_t(b[i]) << 10) ^ (uint32_t(b[i + 1]) << 5) ^ b[i + 2]) &
-           (HSIZE - 1);
+           (H3SIZE - 1);
+  };
+  auto hash4 = [&](int64_t i) -> uint32_t {
+    uint32_t w;
+    std::memcpy(&w, b + i, 4);
+    return (w * 0x9E3779B1u) >> (32 - H4BITS);
+  };
+  // insert position i into the tables it qualifies for
+  const int64_t last4 = n - 4;   // max i with 4 bytes available
+  const int64_t last3 = n - 3;
+  auto insert = [&](int64_t i) {
+    if (i <= last4) {
+      uint32_t h = hash4(i);
+      prev[i & WMASK] = head4[h];
+      head4[h] = int32_t(i & 0x7FFFFFFF);
+    }
+    if (i <= last3) head3[hash3(i)] = int32_t(i & 0x7FFFFFFF);
   };
 
   CostModel cm;
   cm.init_default();
   int64_t nt = 0;
   if (iters < 1) iters = 1;
+  int32_t bl[MAX_BP];  // breakpoints: nearest dist bd[k] reaches bl[k]
+  int32_t bd[MAX_BP];
 
   for (int64_t s = 0; s < n; s += SEG) {
     int64_t e = s + SEG < n ? s + SEG : n;
@@ -2391,14 +2422,10 @@ int64_t tbz_match_optimal(const uint8_t* b, int64_t n, int32_t max_chain,
     for (int iter = 0; iter < iters; iter++) {
       // hash chains rebuilt per iteration, warmed with the 32KB window
       // before the segment so matches reach back across the boundary
-      for (int i = 0; i < HSIZE; i++) head[i] = -1;
+      for (int i = 0; i < H4SIZE; i++) head4[i] = -1;
+      for (int i = 0; i < H3SIZE; i++) head3[i] = -1;
       int64_t warm = s > MAX_DIST ? s - MAX_DIST : 0;
-      int64_t warm_end = s < n - MIN_MATCH + 1 ? s : n - MIN_MATCH + 1;
-      for (int64_t i = warm; i < warm_end; i++) {  // hash3 reads b[i+2]
-        uint32_t h = hash3(i);
-        prev[i & WMASK] = head[h];
-        head[h] = int64_t(i);
-      }
+      for (int64_t i = warm; i < s; i++) insert(i);
       dp[0] = 0;
       for (int64_t i = 1; i <= m; i++) dp[i] = DP_INF;
 
@@ -2407,76 +2434,112 @@ int64_t tbz_match_optimal(const uint8_t* b, int64_t n, int32_t max_chain,
         uint64_t base = dp_cost(dp[r]);
         uint64_t lc = ((base + cm.lit[b[i]]) << 25) | (1u << 16);
         if (lc < dp[r + 1]) dp[r + 1] = lc;
-        // match edges via hash chain: sublen[l] = nearest dist reaching l
-        if (i + MIN_MATCH <= n) {
+        // match edges: breakpoints (bl[k], bd[k]) = nearest distance
+        // reaching length bl[k], ascending
+        if (i <= last3) {
           // cap match length at the segment boundary (forced token break)
           int max_len = int(e - i < MAX_MATCH ? e - i : MAX_MATCH);
           if (max_len >= MIN_MATCH) {
             int best = MIN_MATCH - 1;
-            if (c_n && iter > 0 && c_n[r] != 0xFF) {
-              // cache hit: rebuild sublen from breakpoints, skip walk
-              int prev_l = MIN_MATCH - 1;
-              const uint16_t* bp = c_bp + size_t(r) * CACHE_BP * 2;
-              for (int k = 0; k < c_n[r]; k++) {
-                int l = bp[k * 2];
-                int d = bp[k * 2 + 1];
-                for (int t = prev_l + 1; t <= l; t++) sublen[t] = d;
-                prev_l = l;
-                best = l;
-              }
-            } else {
             int nbp = 0;
-            bool bp_over = false;
-            int64_t cand = head[hash3(i)];
-            int chain = max_chain;
-            while (cand >= 0 && i - cand <= MAX_DIST && chain-- > 0) {
-              if (b[cand + best] == b[i + best] && b[cand] == b[i] &&
-                  b[cand + 1] == b[i + 1]) {
-                // word-wise extension (8 bytes per step, ctz on mismatch)
-                int l = 0;
-                while (l + 8 <= max_len) {
-                  uint64_t wa, wb;
-                  std::memcpy(&wa, b + cand + l, 8);
-                  std::memcpy(&wb, b + i + l, 8);
-                  uint64_t x = wa ^ wb;
-                  if (x) {
-                    l += __builtin_ctzll(x) >> 3;
-                    break;
-                  }
-                  l += 8;
-                }
-                if (l + 8 > max_len)
-                  while (l < max_len && b[cand + l] == b[i + l]) l++;
-                if (l > best) {
-                  int64_t d = i - cand;
-                  for (int k = best + 1; k <= l; k++) sublen[k] = int32_t(d);
-                  best = l;
-                  if (nbp < CACHE_BP) {
-                    uint16_t* bp = c_bp ? c_bp + size_t(r) * CACHE_BP * 2
-                                        : nullptr;
-                    if (bp) {
-                      bp[nbp * 2] = uint16_t(l);
-                      bp[nbp * 2 + 1] = uint16_t(d);
-                    }
-                    nbp++;
-                  } else {
-                    bp_over = true;
-                  }
-                  if (l >= max_len) break;
+            if (c_n && iter > 0 && c_n[r] != 0xFF) {
+              // cache hit: load breakpoints, skip the walk
+              const uint16_t* bp = c_bp + size_t(r) * CACHE_BP * 2;
+              nbp = c_n[r];
+              for (int k = 0; k < nbp; k++) {
+                bl[k] = bp[k * 2];
+                bd[k] = bp[k * 2 + 1];
+              }
+              if (nbp) best = bl[nbp - 1];
+            } else {
+              bool bp_over = false;
+              // len-3 edge: most recent 3-byte position (single probe)
+              {
+                int64_t c3 = head3[hash3(i)];
+                if (c3 >= 0 && i - c3 <= MAX_DIST && c3 != i &&
+                    b[c3] == b[i] && b[c3 + 1] == b[i + 1] &&
+                    b[c3 + 2] == b[i + 2]) {
+                  bl[0] = 3;
+                  bd[0] = int32_t(i - c3);
+                  nbp = 1;
+                  best = 3;
                 }
               }
-              cand = prev[cand & WMASK];
-            }
-            if (c_n && iter == 0) c_n[r] = bp_over ? 0xFF : uint8_t(nbp);
+              if (i <= last4 && best < max_len) {
+                int64_t cand = head4[hash4(i)];
+                int chain = max_chain;
+                // libz-style: once a good match is in hand, spend less
+                // effort improving it. Speed-tier only (nice < 258):
+                // the quality tier keeps the full walk — cutting it
+                // regressed the runs corpus at L8 (the far whole-unit
+                // candidate sits beyond the cut).
+                const int good = nice < MAX_MATCH ? nice >> 2 : MAX_MATCH;
+                while (cand >= 0 && i - cand <= MAX_DIST && chain-- > 0) {
+                  if (b[cand + best] == b[i + best] && b[cand] == b[i]) {
+                    // word-wise extension (8B per step, ctz on mismatch)
+                    int l = 0;
+                    while (l + 8 <= max_len) {
+                      uint64_t wa, wb;
+                      std::memcpy(&wa, b + cand + l, 8);
+                      std::memcpy(&wb, b + i + l, 8);
+                      uint64_t x = wa ^ wb;
+                      if (x) {
+                        l += __builtin_ctzll(x) >> 3;
+                        break;
+                      }
+                      l += 8;
+                    }
+                    if (l + 8 > max_len)
+                      while (l < max_len && b[cand + l] == b[i + l]) l++;
+                    if (l > best && l >= 4) {
+                      int32_t d = int32_t(i - cand);
+                      // merge: equal-dist extension replaces the last bp
+                      if (nbp && bd[nbp - 1] == d &&
+                          bl[nbp - 1] >= best) {
+                        bl[nbp - 1] = l;
+                      } else if (nbp < MAX_BP) {
+                        bl[nbp] = l;
+                        bd[nbp] = d;
+                        nbp++;
+                      } else {
+                        bp_over = true;
+                      }
+                      best = l;
+                      if (l >= max_len || l >= nice) break;
+                      if (l >= good && chain > 8) chain = 8;
+                    }
+                  }
+                  cand = prev[cand & WMASK];
+                }
+              }
+              if (c_n && iter == 0) {
+                if (bp_over || nbp > CACHE_BP) {
+                  c_n[r] = 0xFF;
+                } else {
+                  uint16_t* bp = c_bp + size_t(r) * CACHE_BP * 2;
+                  for (int k = 0; k < nbp; k++) {
+                    bp[k * 2] = uint16_t(bl[k]);
+                    bp[k * 2 + 1] = uint16_t(bd[k]);
+                  }
+                  c_n[r] = uint8_t(nbp);
+                }
+              }
             }
             if (best >= MIN_MATCH) {
-              for (int l = MIN_MATCH; l <= best; l++) {
-                uint64_t c = ((base + cm.len_cost[l] +
-                               cm.dist_sym_cost[dist_symbol_of(sublen[l])])
-                              << 25) |
-                             (uint64_t(l) << 16) | uint64_t(sublen[l]);
-                uint64_t cur = dp[r + l];
-                dp[r + l] = c < cur ? c : cur;
+              // relax per breakpoint segment: dist symbol computed once
+              int prev_l = MIN_MATCH - 1;
+              for (int k = 0; k < nbp; k++) {
+                int hi = bl[k];
+                uint64_t dc =
+                    base + cm.dist_sym_cost[dist_symbol_of(bd[k])];
+                uint64_t dv = uint64_t(bd[k]);
+                for (int l = prev_l + 1; l <= hi; l++) {
+                  uint64_t c = ((dc + cm.len_cost[l]) << 25) |
+                               (uint64_t(l) << 16) | dv;
+                  uint64_t cur = dp[r + l];
+                  dp[r + l] = c < cur ? c : cur;
+                }
+                prev_l = hi;
               }
               // long-run shortcut: inside a small-period run (e.g. a
               // byte or short-pattern repeat) the DP neighborhood
@@ -2485,11 +2548,9 @@ int64_t tbz_match_optimal(const uint8_t* b, int64_t n, int32_t max_chain,
               // with a large period the shortcut would lock out cheaper
               // near distances and starve the DP of good edges.
               if (best == MAX_MATCH && max_len == MAX_MATCH &&
-                  sublen[best] <= 8) {
-                int32_t d0 = sublen[best];
-                uint32_t h = hash3(i);
-                prev[i & WMASK] = head[h];
-                head[h] = int64_t(i);
+                  bd[nbp - 1] <= 8) {
+                int32_t d0 = bd[nbp - 1];
+                insert(i);
                 int64_t j = i + 1;
                 uint32_t mc = cm.len_cost[MAX_MATCH] +
                               cm.dist_sym_cost[dist_symbol_of(d0)];
@@ -2502,9 +2563,7 @@ int64_t tbz_match_optimal(const uint8_t* b, int64_t n, int32_t max_chain,
                   if (c2 < dp[rj + MAX_MATCH]) dp[rj + MAX_MATCH] = c2;
                   uint64_t lc2 = ((bj + cm.lit[b[j]]) << 25) | (1u << 16);
                   if (lc2 < dp[rj + 1]) dp[rj + 1] = lc2;
-                  uint32_t h2 = hash3(j);
-                  prev[j & WMASK] = head[h2];
-                  head[h2] = int64_t(j);
+                  insert(j);
                   j++;
                 }
                 if (j > i + 1) {
@@ -2513,14 +2572,17 @@ int64_t tbz_match_optimal(const uint8_t* b, int64_t n, int32_t max_chain,
                 }
                 continue;  // hash already inserted
               }
+              // (A nice-SKIP — jumping i past a >=nice match wholesale —
+              // was tried and regressed runs corpora 23% at L8/9: the
+              // skipped interior positions carry the cheap d=1 run
+              // edges the DP needs, and losing them shifts the parse at
+              // every unit boundary, fragmenting the symbol stats. Only
+              // the walk CUTOFF at `nice` and the good-length chain
+              // reduction are safe.)
             }
           }
         }
-        if (i + MIN_MATCH <= n) {
-          uint32_t h = hash3(i);
-          prev[i & WMASK] = head[h];
-          head[h] = int64_t(i);
-        }
+        insert(i);
       }
 
       // backtrack this segment (reversed, then reverse in place)
@@ -2547,10 +2609,10 @@ int64_t tbz_match_optimal(const uint8_t* b, int64_t n, int32_t max_chain,
         nt++;
       }
       if (overflow) {
-        delete[] head;
+        delete[] head4;
+        delete[] head3;
         delete[] prev;
         delete[] dp;
-        delete[] sublen;
         delete[] c_bp;
         delete[] c_n;
         return -1;
@@ -2580,10 +2642,10 @@ int64_t tbz_match_optimal(const uint8_t* b, int64_t n, int32_t max_chain,
     }
   }
 
-  delete[] head;
+  delete[] head4;
+  delete[] head3;
   delete[] prev;
   delete[] dp;
-  delete[] sublen;
   delete[] c_bp;
   delete[] c_n;
   return nt;
