@@ -101,24 +101,35 @@ def main():
             f"(t={ts[0]*1e3:.1f}/{ts[1]*1e3:.1f}ms)")
         return slope
 
-    @functools.partial(jax.jit, static_argnames=("n_rows_out",))
-    def flat_sum(*args, n_rows_out, salt):
+    @functools.partial(jax.jit,
+                       static_argnames=("n_rows_out", "seg_rows"))
+    def flat_sum(*args, n_rows_out, seg_rows, salt):
         first = args[0] + (salt - salt)
-        out = rs._resolve_flat_impl(first, *args[1:], n_rows_out)
+        out = rs._resolve_flat_impl(first, *args[1:], n_rows_out, seg_rows)
         return jnp.sum(out, dtype=jnp.uint32)
 
     results = {}
 
     only = sys.argv[1] if len(sys.argv) > 1 else None
 
-    for G, K in ((4096, 2), (4096, 4), (8192, 2)):
+    for G, K, SR in ((4096, 4, 8192), (4096, 4, 2048), (4096, 8, 8192)):
         if only and only != "flat":
             break
-        def stage_flat(tape, payload, G=G, K=K):
-            plan = loader.plan_spans_flat(tape, payload, G=G, K=K)
+        seg_holder = {}
+
+        def stage_flat(tape, payload, G=G, K=K, SR=SR, hold=seg_holder):
+            plan = loader.plan_spans_flat(tape, payload, G=G, K=K,
+                                          seg_rows=SR)
+            hold["seg"] = plan.seg_rows
             return rs.stage_flat_plan(plan)
-        results[f"flat_G{G}K{K}"] = run_variant(
-            f"flat G={G} K={K}", stage_flat, flat_sum, word_sum)
+
+        def flat_sum_seg(*args, n_rows_out, salt, hold=seg_holder):
+            return flat_sum(*args, n_rows_out=n_rows_out,
+                            seg_rows=hold["seg"], salt=salt)
+
+        results[f"flat_G{G}K{K}S{SR}"] = run_variant(
+            f"flat G={G} K={K} seg={SR}", stage_flat, flat_sum_seg,
+            word_sum)
 
     def stage_classic(tape, payload):
         plan = loader.plan_spans(tape, payload)

@@ -42,18 +42,23 @@ def main():
     if variant == "flat":
         plan = loader.plan_spans_flat(tape, payload, G=4096, K=4)
         np_args, n_rows = rs.stage_flat_plan(plan)
-        impl = rs._resolve_flat_impl
+
+        def impl(first, *a, n_rows_out):
+            return rs._resolve_flat_impl(first, *a, n_rows_out,
+                                         plan.seg_rows)
     else:
         plan = loader.plan_spans_grid(tape, payload, K=4)
         np_args, n_rows = rs.stage_grid_plan(plan)
-        impl = rs._resolve_grid_impl
+
+        def impl(first, *a, n_rows_out):
+            return rs._resolve_grid_impl(first, *a, n_rows_out)
     args = [jax.device_put(jnp.asarray(a)) for a in np_args]
     log(f"[prof] variant={variant} n_batches={plan.n_batches} n_spans={plan.n_spans}")
 
     @functools.partial(jax.jit, static_argnames=("n_rows_out",))
     def grid_sum(*a, n_rows_out, salt):
         first = a[0] + (salt - salt)
-        out = impl(first, *a[1:], n_rows_out)
+        out = impl(first, *a[1:], n_rows_out=n_rows_out)
         return jnp.sum(out, dtype=jnp.uint32)
 
     int(grid_sum(*args, n_rows_out=n_rows, salt=jnp.uint32(0)))  # warm

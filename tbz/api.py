@@ -97,11 +97,18 @@ def _decode_body(body: bytes, window: bytes, backend: str,
         use_spans = native_ok
         if use_spans:
             try:
-                # span resolver: row-gather formulation (ops/resolve_spans)
+                # flat span resolver: global row gathers, segment-local
+                # scatters (ops/resolve_spans, round-3 fast path)
+                import jax as _jax
+                import jax.numpy as _jnp
                 from .ops import resolve_spans as _rs
-                rows, total = _rs.resolve_spans_device(res.tape, body,
-                                                       window)
-                dev_body = rows.reshape(-1)
+                rows, total = _rs.resolve_flat_device(res.tape, body,
+                                                      window)
+                dev_body = _jax.lax.bitcast_convert_type(
+                    rows, _jnp.uint8).reshape(-1)
+            except ValueError:
+                # >2GB stream: int32 table addresses can't span it
+                use_spans = False
             except DeflateError as e:
                 if e.code != 12:  # ERR_PLAN_DEPTH: pathological genealogy
                     raise

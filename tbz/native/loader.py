@@ -65,20 +65,25 @@ class _FlatPlanC(ctypes.Structure):
 class FlatPlan:
     """Host-side FLAT-resolver plan (frontend.cc tbz_plan_spans_flat):
     literals pre-placed in out0 (uint8, row-padded), match spans packed
-    as (G row-groups x K slots) batches in global table coordinates
-    (table = 256 window rows + output rows; srcaddr = src + 32768)."""
+    as (G row-groups x K slots) batches. SOURCE addresses are global
+    table coordinates (table = 256 window rows + output rows; srcaddr =
+    src + 32768); SCATTER targets are segment-local (g_row in
+    [0, seg_rows), b_segrow = the batch's segment base table row) so the
+    kernel scatter-adds into a small dynamic slice of the table."""
 
-    def __init__(self, srcaddr, lenoff, g_row, out0, n_batches,
-                 total_out, n_spans, G, K):
+    def __init__(self, srcaddr, lenoff, g_row, b_segrow, out0, n_batches,
+                 total_out, n_spans, G, K, seg_rows):
         self.srcaddr = srcaddr
         self.lenoff = lenoff
         self.g_row = g_row
+        self.b_segrow = b_segrow
         self.out0 = out0
         self.n_batches = n_batches
         self.total_out = total_out
         self.n_spans = n_spans
         self.G = G
         self.K = K
+        self.seg_rows = seg_rows
 
 
 class GridPlan:
@@ -270,10 +275,11 @@ def _load():
             ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int32),
             ctypes.POINTER(ctypes.c_int32), ctypes.c_int64,
             ctypes.c_char_p, ctypes.c_int64, ctypes.c_int64,
-            ctypes.c_int64, ctypes.c_int64,
+            ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
             ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int16),
             ctypes.c_int64,
-            ctypes.POINTER(ctypes.c_int32), ctypes.c_int64, ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int32),
+            ctypes.c_int64, ctypes.c_int64,
             ctypes.POINTER(ctypes.c_uint8), ctypes.c_int64,
             ctypes.POINTER(_FlatPlanC)]
         lib.tbz_match_optimal.restype = ctypes.c_int64
@@ -479,10 +485,14 @@ def plan_spans_grid(tape, input_bytes, window_len: int = 0,
 
 
 def plan_spans_flat(tape, input_bytes, window_len: int = 0,
-                    G: int = 2048, K: int = 2) -> FlatPlan:
+                    G: int = 2048, K: int = 2,
+                    seg_rows: int = 8192) -> FlatPlan:
     """Plan the FLAT device resolve (frontend.cc tbz_plan_spans_flat):
     literals host-prefilled into out0, match spans chopped to single
-    src/dst 128B rows and globally list-scheduled into (G x K) batches.
+    src/dst 128B rows and list-scheduled into (G x K) batches that are
+    segment-pure (each batch's dst rows fall in one seg_rows window, so
+    the kernel scatters into a small table slice). seg_rows is clamped
+    to the pow2 output row count so the slice never overruns the table.
     Streams are capped at <2GB by int32 table addresses."""
     lib = _load()
     dptr, dlen, _keep = _buf(input_bytes)
@@ -495,6 +505,11 @@ def plan_spans_flat(tape, input_bytes, window_len: int = 0,
         raise ValueError("flat resolver caps streams below 2GB "
                          "(int32 table addresses)")
     rows_out = max(1, -(-total // 128))
+    if seg_rows & (seg_rows - 1):
+        raise ValueError("seg_rows must be a power of two")
+    # table rows are padded to pow2 in staging; a pow2 seg_rows <= that
+    # pad always divides it, so the last segment slice stays in range
+    seg_rows = min(seg_rows, 1 << (rows_out - 1).bit_length())
     out0 = np.zeros(rows_out * 128, np.uint8)
     batch_cap = (2 * n + total // 16) // G + 64
     while True:
@@ -502,13 +517,14 @@ def plan_spans_flat(tape, input_bytes, window_len: int = 0,
         srcaddr = np.empty(slot_cap, np.int32)
         lenoff = np.empty(slot_cap, np.int16)
         g_row = np.empty(batch_cap * G, np.int32)
+        b_segrow = np.empty(batch_cap, np.int32)
         res = _FlatPlanC()
         err = lib.tbz_plan_spans_flat(
             _i32p(ol), _i32p(di), _i32p(rv), n, dptr, dlen,
-            window_len, G, K,
+            window_len, G, K, seg_rows,
             _i32p(srcaddr),
             lenoff.ctypes.data_as(ctypes.POINTER(ctypes.c_int16)), slot_cap,
-            _i32p(g_row), batch_cap * G, batch_cap,
+            _i32p(g_row), _i32p(b_segrow), batch_cap * G, batch_cap,
             out0.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
             len(out0), ctypes.byref(res))
         if err == ERR_TAPE_OVERFLOW:
@@ -518,9 +534,9 @@ def plan_spans_flat(tape, input_bytes, window_len: int = 0,
         nb = int(res.n_batches)
         return FlatPlan(
             srcaddr=srcaddr[:nb * G * K], lenoff=lenoff[:nb * G * K],
-            g_row=g_row[:nb * G], out0=out0,
+            g_row=g_row[:nb * G], b_segrow=b_segrow[:nb], out0=out0,
             n_batches=nb, total_out=int(res.total_out),
-            n_spans=int(res.n_spans), G=G, K=K)
+            n_spans=int(res.n_spans), G=G, K=K, seg_rows=seg_rows)
 
 
 def new_stream_state():

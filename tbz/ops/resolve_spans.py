@@ -313,20 +313,27 @@ def resolve_grid_bytes(tape, input_bytes, window: bytes = b"",
 # scatter-add — ~10 ops on larger batches (G=2048 x K=2 default).
 
 
-@functools.partial(jax.jit, static_argnames=("n_rows_out",))
-def _resolve_flat_impl(srcaddr, lenoff, g_rows, out0, window_rows,
-                       n_rows_out: int):
+@functools.partial(jax.jit, static_argnames=("n_rows_out", "seg_rows"))
+def _resolve_flat_impl(srcaddr, lenoff, g_rows, b_segrow, out0, window_rows,
+                       n_rows_out: int, seg_rows: int):
     """srcaddr (NB,G,K) int32 table byte address (= global src + 32768);
     lenoff (NB,G,K) int16 = dstoff<<8 | len; g_rows (NB,G) int32 target
-    table row; out0 (n_rows_out,32)/window_rows (256,32) uint32 word
-    rows. Returns (n_rows_out, 32) uint32 resolved output rows."""
+    row RELATIVE to the batch's segment; b_segrow (NB,) int32 segment
+    base table row; out0 (n_rows_out,32)/window_rows (256,32) uint32
+    word rows. Returns (n_rows_out, 32) uint32 resolved output rows.
+
+    Scatter-adds land in a seg_rows-row dynamic slice of the table
+    (batches are segment-pure by the planner): row scatter into a >=4MB
+    HBM table measured ~18M rows/s on the target chip vs ~83M+ into
+    VMEM-sized slices, while the contiguous slice in/out is a DMA copy
+    and the global row GATHER is fast at every table size."""
     NB, G, K = srcaddr.shape
     B = G * K
     table0 = jnp.concatenate([window_rows, out0], axis=0)
     lane128 = jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1)
 
     def step(table, xs):
-        sa, lo_, gr = xs
+        sa, lo_, gr, segrow = xs
         sa_f = sa.reshape(B)
         u = sa_f >> 7
         a = sa_f & 127
@@ -335,28 +342,30 @@ def _resolve_flat_impl(srcaddr, lenoff, g_rows, out0, window_rows,
         ln = lo_f & 255
 
         frame = table[u]                                # (B, 32) u32
-        # barrel: shift flat bytes LEFT by m = a-o+128 in [1,255];
-        # 6 word stages + 2 byte-in-word stages
-        m = a - o + 128
-        x = jnp.concatenate([jnp.zeros((B, 32), jnp.uint32), frame],
-                            axis=1)                     # (B, 64)
-        q = m >> 2
-        r = m & 3
-        for k in range(6):
+        # barrel: ROTATE flat bytes left by t = (a-o) & 127 within the
+        # 128B row, so al[o+i] = frame[(o+i+t) & 127] = frame[a+i] —
+        # valid because the planner never lets a span straddle its src
+        # row (a+len <= 128), so the wrap never lands inside the masked
+        # span. 5 word stages + 2 byte-in-word stages on 32 uint32
+        # lanes; the round-3a shift formulation needed 8 stages on 64
+        # lanes (2.3x the vector traffic).
+        t = (a - o) & 127
+        q = t >> 2
+        r = t & 3
+        x = frame
+        for k in range(5):
             s = 1 << k
-            rolled = jnp.concatenate(
-                [x[:, s:], jnp.zeros((B, s), jnp.uint32)], axis=1)
+            rolled = jnp.concatenate([x[:, s:], x[:, :s]], axis=1)
             bit = ((q >> k) & 1).astype(bool)[:, None]
             x = jnp.where(bit, rolled, x)
         for k in range(2):
             sb = 8 << k
-            nxt = jnp.concatenate(
-                [x[:, 1:], jnp.zeros((B, 1), jnp.uint32)], axis=1)
+            nxt = jnp.concatenate([x[:, 1:], x[:, :1]], axis=1)
             shifted = (jax.lax.shift_right_logical(x, jnp.uint32(sb))
                        | (nxt << jnp.uint32(32 - sb)))
             bit = ((r >> k) & 1).astype(bool)[:, None]
             x = jnp.where(bit, shifted, x)
-        al = x[:, :32]                                  # (B, 32)
+        al = x                                          # (B, 32)
 
         mask8 = jnp.where((lane128 >= o[:, None])
                           & (lane128 < (o + ln)[:, None]),
@@ -367,10 +376,13 @@ def _resolve_flat_impl(srcaddr, lenoff, g_rows, out0, window_rows,
 
         contrib = (al.reshape(G, K, 32)
                    .sum(axis=1, dtype=jnp.uint32))      # (G, 32)
-        table = table.at[gr].add(contrib)
+        seg = jax.lax.dynamic_slice(table, (segrow, 0), (seg_rows, 32))
+        seg = seg.at[gr].add(contrib)
+        table = jax.lax.dynamic_update_slice(table, seg, (segrow, 0))
         return table, None
 
-    table, _ = jax.lax.scan(step, table0, (srcaddr, lenoff, g_rows))
+    table, _ = jax.lax.scan(step, table0,
+                            (srcaddr, lenoff, g_rows, b_segrow))
     return table[W_ROWS:]
 
 
@@ -383,12 +395,18 @@ def stage_flat_plan(plan, window: bytes = b""):
     srcaddr = np.zeros((NB_pad, G, K), np.int32)
     lenoff = np.zeros((NB_pad, G, K), np.int16)
     g_rows = np.zeros((NB_pad, G), np.int32)
+    b_segrow = np.full(NB_pad, W_ROWS, np.int32)  # pad: first segment
     if plan.n_batches:
         srcaddr[:NB] = plan.srcaddr.reshape(NB, G, K)
         lenoff[:NB] = plan.lenoff.reshape(NB, G, K)
         g_rows[:NB] = plan.g_row.reshape(NB, G)
+        b_segrow[:NB] = plan.b_segrow
+        b_segrow[NB:] = plan.b_segrow[NB - 1]
 
-    n_rows_out = _pow2(-(-max(plan.total_out, 1) // 128))
+    # pow2 >= seg_rows and a multiple of it: the last segment's dynamic
+    # slice [segrow, segrow + seg_rows) always stays inside the table
+    n_rows_out = _pow2(-(-max(plan.total_out, 1) // 128),
+                       floor=plan.seg_rows)
     o8 = np.zeros(n_rows_out * 128, np.uint8)
     o8[:plan.out0.size] = plan.out0
     out0 = o8.view("<u4").reshape(n_rows_out, 32)
@@ -398,25 +416,29 @@ def stage_flat_plan(plan, window: bytes = b""):
         w = np.frombuffer(bytes(window)[-32768:], np.uint8)
         w8[32768 - len(w):] = w
     wrows = w8.view("<u4").reshape(W_ROWS, 32)
-    return (srcaddr, lenoff, g_rows, out0, wrows), n_rows_out
+    return (srcaddr, lenoff, g_rows, b_segrow, out0, wrows), n_rows_out
 
 
 def resolve_flat_device(tape, input_bytes, window: bytes = b"",
-                        G: int = 2048, K: int = 2):
+                        G: int = 2048, K: int = 2, seg_rows: int = 8192):
     """Plan on host (C++ flat planner), resolve on device. Returns
     (device uint32 word rows, total_out)."""
     from ..native import loader
     plan = loader.plan_spans_flat(tape, input_bytes,
-                                  window_len=len(window), G=G, K=K)
+                                  window_len=len(window), G=G, K=K,
+                                  seg_rows=seg_rows)
     args, n_rows_out = stage_flat_plan(plan, window)
-    rows = _resolve_flat_impl(*(jnp.asarray(a) for a in args), n_rows_out)
+    rows = _resolve_flat_impl(*(jnp.asarray(a) for a in args), n_rows_out,
+                              plan.seg_rows)
     return rows, plan.total_out
 
 
 def resolve_flat_bytes(tape, input_bytes, window: bytes = b"",
-                       G: int = 2048, K: int = 2) -> bytes:
+                       G: int = 2048, K: int = 2,
+                       seg_rows: int = 8192) -> bytes:
     """Convenience: flat-resolve and fetch to host bytes."""
-    rows, total = resolve_flat_device(tape, input_bytes, window, G=G, K=K)
+    rows, total = resolve_flat_device(tape, input_bytes, window, G=G, K=K,
+                                      seg_rows=seg_rows)
     host = np.ascontiguousarray(np.asarray(rows))
     return bytes(host.view(np.uint8).reshape(-1)[:total])
 

@@ -53,6 +53,17 @@ def test_shape_variants(G, K):
     assert roundtrip(data, G=G, K=K) == data
 
 
+@pytest.mark.parametrize("seg_rows", [256, 1024, 8192])
+def test_segment_variants(seg_rows):
+    # 1 << 18 output = 2048 rows: seg_rows=256 forces 8 segments,
+    # 1024 forces 2, 8192 clamps to the single-table case
+    data = corpus(34, 1 << 18)
+    payload = zlib.compress(data, 9)[2:-4]
+    res = reference.tokenize_host(payload, 0)
+    assert rs.resolve_flat_bytes(res.tape, payload,
+                                 seg_rows=seg_rows) == data
+
+
 def test_stored_blocks():
     data = corpus(13, 150000)
     co = zlib.compressobj(0, zlib.DEFLATED, -15)
@@ -102,12 +113,14 @@ def test_structure_fuzz():
 def test_flat_planner_invariants():
     """Every slot is a single-row copy on both sides: len <= 128, the
     dst offset + len stays inside the row, the src frame [addr&127,
-    +len) stays inside its row, and group target rows are in the output
-    region of the table (>= 256 window rows)."""
+    +len) stays inside its row; batches are segment-pure (g_row in
+    [0, seg_rows) relative to an aligned b_segrow >= the 256 window
+    rows)."""
     data = corpus(17, 1 << 18)
     payload = zlib.compress(data, 6)[2:-4]
     res = reference.tokenize_host(payload, 0)
-    plan = loader.plan_spans_flat(res.tape, payload, G=1024, K=2)
+    plan = loader.plan_spans_flat(res.tape, payload, G=1024, K=2,
+                                  seg_rows=512)
     G, K = plan.G, plan.K
     sa = plan.srcaddr.reshape(plan.n_batches, G, K)
     lo = plan.lenoff.reshape(plan.n_batches, G, K).astype(np.int32)
@@ -119,9 +132,14 @@ def test_flat_planner_invariants():
     assert (off[live] + ln[live] <= 128).all()
     assert ((sa[live] & 127) + ln[live] <= 128).all()
     rows = plan.g_row.reshape(plan.n_batches, G)
-    assert (rows >= 0).all()
     live_g = live.any(axis=2)
-    assert (rows[live_g] >= 256).all()
+    assert (rows[live_g] >= 0).all()
+    assert (rows[live_g] < plan.seg_rows).all()
+    assert (plan.b_segrow >= 256).all()
+    assert ((plan.b_segrow - 256) % plan.seg_rows == 0).all()
+    # segment base rows are nondecreasing (batches run in scan order)
+    assert (np.diff(plan.b_segrow) >= 0).all()
+    # every live slot's global dst row stays inside its batch's segment
     assert plan.n_spans == int(live.sum())
     # literal bytes already present in out0 at non-span positions
     out0 = plan.out0[:plan.total_out]
