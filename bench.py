@@ -154,9 +154,9 @@ def bench_device_verify(out: bytes, iters: int, timeout_s: float = 120.0):
 def bench_device_resolve(payload_small: bytes, payload_big: bytes,
                          data_small: bytes, data_big: bytes,
                          timeout_s: float = 600.0):
-    """Span-resolver (ops/resolve_spans) marginal rate via the two-size
-    slope with device-RESIDENT plans: the ~50 MB/s stdio tunnel is an
-    environment artifact, so plans are device_put once and only a
+    """FLAT span-resolver (ops/resolve_spans) marginal rate via the
+    two-size slope with device-RESIDENT plans: the ~50 MB/s stdio tunnel
+    is an environment artifact, so plans are device_put once and only a
     checksum is fetched per timed call. Returns GB/s or None."""
 
     def run():
@@ -168,26 +168,34 @@ def bench_device_resolve(payload_small: bytes, payload_big: bytes,
         from tbz.native import loader
         from tbz.ops import resolve_spans as rs
 
-        @functools.partial(jax.jit, static_argnames=("n_rows_out",))
-        def resolve_sum(*args, n_rows_out, salt):
+        @functools.partial(jax.jit,
+                           static_argnames=("n_rows_out", "seg_rows"))
+        def resolve_sum(*args, n_rows_out, seg_rows, salt):
             first = args[0] + (salt - salt)  # defeat result caching
-            out = rs._resolve_spans_impl(first, *args[1:], n_rows_out)
-            return jnp.sum(out.astype(jnp.uint32))
+            out = rs._resolve_flat_impl(first, *args[1:], n_rows_out,
+                                        seg_rows)
+            return jnp.sum(out, dtype=jnp.uint32)
+
+        def word_sum(data):
+            pad = (-len(data)) % 4
+            a = np.frombuffer(data + b"\x00" * pad, np.uint8)
+            return int(a.view("<u4").astype(np.uint64).sum() % (1 << 32))
 
         def stage(payload, data):
             res = reference.tokenize_host(payload, 0)
-            plan = loader.plan_spans(res.tape, payload)
-            np_args, n_rows = rs.stage_plan(plan)
+            plan = loader.plan_spans_flat(res.tape, payload, G=4096, K=4)
+            np_args, n_rows = rs.stage_flat_plan(plan)
             args = [jax.device_put(jnp.asarray(a)) for a in np_args]
-            want = int(np.frombuffer(data, np.uint8).astype(np.uint32).sum())
             s = int(resolve_sum(*args, n_rows_out=n_rows,
-                                salt=jnp.int32(0)))  # warm + verify
-            assert s == want, "device span resolve mismatch!"
+                                seg_rows=plan.seg_rows,
+                                salt=jnp.uint32(0)))  # warm + verify
+            assert s == word_sum(data), "device span resolve mismatch!"
             ts = []
             for it in range(3):
                 t0 = time.perf_counter()
                 int(resolve_sum(*args, n_rows_out=n_rows,
-                                salt=jnp.int32(it + 1)))
+                                seg_rows=plan.seg_rows,
+                                salt=jnp.uint32(it + 1)))
                 ts.append(time.perf_counter() - t0)
             return min(ts)
 
@@ -203,6 +211,62 @@ def bench_device_resolve(payload_small: bytes, payload_big: bytes,
     except Exception as e:  # noqa: BLE001
         log(f"[bench] device resolve unavailable ({type(e).__name__}: {e})")
         return None
+
+
+def bench_device_e2e(payload: bytes, data: bytes, timeout_s: float = 600.0):
+    """End-to-end device decode (tokenize on device for >=64KB streams,
+    host planner, flat device resolve, device checksum) through the
+    public API. Wall-clock including tunnel IO; returns seconds or
+    None."""
+
+    def run():
+        import jax
+        _enable_compile_cache(jax)
+        from tbz import api
+        out = api.decompress(payload, format="raw", backend="device")
+        assert out == data, "device e2e mismatch!"
+        ts = []
+        for _ in range(2):
+            t0 = time.perf_counter()
+            out = api.decompress(payload, format="raw", backend="device")
+            ts.append(time.perf_counter() - t0)
+        return min(ts)
+
+    ex = concurrent.futures.ThreadPoolExecutor(1)
+    try:
+        return ex.submit(run).result(timeout=timeout_s)
+    except Exception as e:  # noqa: BLE001
+        log(f"[bench] device e2e unavailable ({type(e).__name__}: {e})")
+        return None
+
+
+def bench_scaling(size: int):
+    """Virtual-device scaling curve: decode_streams_sharded throughput
+    at 1/2/4/8 CPU devices via subprocess (host device count is fixed at
+    process startup). Returns (efficiency_at_ncores, curve dict)."""
+    import subprocess
+    here = os.path.dirname(os.path.abspath(__file__))
+    script = os.path.join(here, "scripts", "scaling_probe.py")
+    ncores = os.cpu_count() or 4
+    curve = {}
+    for n in (1, 2, 4, 8):
+        try:
+            out = subprocess.run(
+                [sys.executable, script, str(n), str(size)],
+                capture_output=True, timeout=600, text=True)
+            line = out.stdout.strip().splitlines()[-1]
+            curve[n] = json.loads(line)["gbps"]
+        except Exception as e:  # noqa: BLE001
+            log(f"[bench] scaling probe n={n} failed "
+                f"({type(e).__name__}: {e})")
+            return None, curve
+    log("[bench] sharded-decode scaling (virtual CPU devices): " +
+        "  ".join(f"{n}dev={g:.2f}GB/s" for n, g in curve.items()) +
+        f"  [{ncores} physical cores: the >= {ncores}-device points "
+        f"share cores and are expected to flatten]")
+    n_eff = min(ncores, 4)
+    eff = curve[n_eff] / (n_eff * curve[1]) if curve.get(1) else None
+    return eff, curve
 
 
 def bench_encode(data: bytes, level: int = 6):
@@ -251,20 +315,28 @@ def main():
         f"({size / t_libz / 1e9:.2f} GB/s)")
 
     if not args.host_only:
-        # Pre-flight: skip device probes entirely if the device is wedged
-        # (a stuck queue would otherwise burn the full watchdog twice).
-        def tiny():
+        # STAGED pre-flight (round-2 lesson: one 420s all-or-nothing
+        # attempt timed out on a congested queue and dropped every device
+        # metric from the artifact). Escalating timeouts; any success
+        # proceeds to the probes, each of which has its own watchdog.
+        def tiny(salt):
             import jax
             _enable_compile_cache(jax)
             import jax.numpy as jnp
-            return int(jax.jit(lambda a: jnp.sum(a))(jnp.arange(8)))
+            return int(jax.jit(lambda a: jnp.sum(a))(jnp.arange(8) + salt))
 
-        ex = concurrent.futures.ThreadPoolExecutor(1)
-        try:
-            # generous: queue contention makes even tiny ops take minutes
-            ex.submit(tiny).result(timeout=420)
-        except Exception as e:  # noqa: BLE001
-            log(f"[bench] device pre-flight failed ({type(e).__name__}); "
+        ok = False
+        for stage_s in (60, 300, 600):
+            ex = concurrent.futures.ThreadPoolExecutor(1)
+            try:
+                ex.submit(tiny, stage_s).result(timeout=stage_s)
+                ok = True
+                break
+            except Exception as e:  # noqa: BLE001
+                log(f"[bench] device pre-flight ({stage_s}s stage) "
+                    f"failed ({type(e).__name__}); escalating")
+        if not ok:
+            log("[bench] device pre-flight exhausted (960s total); "
                 "host-only results")
             args.host_only = True
 
@@ -291,6 +363,7 @@ def main():
                     f"kernel): {slope / 1e9:.2f} GB/s")
 
     dev_resolve = None
+    dev_e2e = None
     if not args.host_only:
         ds, db = data[:2 << 20], data[:8 << 20]
         ps = zlib.compress(ds, 6)[2:-4]
@@ -299,12 +372,29 @@ def main():
         if dev_resolve is not None:
             log(f"[bench] device span-resolve marginal rate (resident "
                 f"plan, two-size slope): {dev_resolve / 1e9:.3f} GB/s")
+        de, pe = data[:1 << 20], zlib.compress(data[:1 << 20], 6)[2:-4]
+        dev_e2e = bench_device_e2e(pe, de)
+        if dev_e2e is not None:
+            log(f"[bench] device end-to-end decode 1MB (public API, "
+                f"incl. tunnel IO): {dev_e2e * 1000:.0f} ms")
 
     # Encoder size target (BASELINE: <= libz at matched level), 4MB slice.
     enc_n = min(len(data), 4 << 20)
     osz, lsz, te = bench_encode(data[:enc_n])
+    enc_mbps = enc_n / te / 1e6
     log(f"[bench] encode L6 on {enc_n >> 20}MB: ours {osz} vs libz {lsz} "
-        f"(ratio {osz / lsz:.4f}) {enc_n / te / 1e6:.1f} MB/s")
+        f"(ratio {osz / lsz:.4f}) {enc_mbps:.1f} MB/s")
+    from tbz import deflate_encode as de_mod
+    t0 = time.perf_counter()
+    de_mod.deflate_raw_parallel(data[:enc_n], 6, threads=os.cpu_count() or 4)
+    enc_mt_mbps = enc_n / (time.perf_counter() - t0) / 1e6
+    log(f"[bench] encode L6 segment-parallel ({os.cpu_count()} threads): "
+        f"{enc_mt_mbps:.1f} MB/s")
+
+    scaling_eff, _curve = bench_scaling(min(size, 8 << 20))
+    if scaling_eff is not None:
+        log(f"[bench] scaling efficiency (virtual-device curve at "
+            f"min(cores,4) devices): {scaling_eff:.2f}")
 
     result = {
         "metric": "sharded_inflate_GBps_single_host",
@@ -312,9 +402,15 @@ def main():
         "unit": "GB/s",
         "vs_baseline": round(multi_gbps / BASELINE_GBPS, 2),
         "encode_ratio_vs_libz_L6": round(osz / lsz, 4),
+        "encode_MBps_L6": round(enc_mbps, 2),
+        "encode_mt_MBps_L6": round(enc_mt_mbps, 2),
     }
+    if scaling_eff is not None:
+        result["scaling_efficiency"] = round(scaling_eff, 3)
     if dev_resolve is not None:
         result["device_resolve_GBps"] = round(dev_resolve / 1e9, 3)
+    if dev_e2e is not None:
+        result["device_e2e_1MB_ms"] = round(dev_e2e * 1000, 1)
     print(json.dumps(result))
 
 

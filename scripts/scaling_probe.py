@@ -1,0 +1,51 @@
+#!/usr/bin/env python
+"""Scaling-efficiency helper: decode_streams_sharded throughput on an
+n-virtual-device CPU mesh. Run as a subprocess by bench.py (one process
+per device count — XLA's host device count is fixed at startup).
+
+Prints ONE JSON line {"n_dev": N, "gbps": X} on stdout; detail to
+stderr. The ambient TPU plugin ignores the JAX_PLATFORMS env var, so
+the CPU platform is forced via config.update (same workaround as
+tests/conftest.py).
+"""
+import json
+import os
+import sys
+import time
+import zlib
+
+n_dev = int(sys.argv[1])
+size = int(sys.argv[2]) if len(sys.argv) > 2 else 8 << 20
+os.environ["XLA_FLAGS"] = (os.environ.get("XLA_FLAGS", "") +
+                           f" --xla_force_host_platform_device_count={n_dev}")
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+
+from bench import make_corpus  # noqa: E402
+from tbz.parallel import shard  # noqa: E402
+from tbz.parallel.mesh import make_mesh  # noqa: E402
+
+
+def main():
+    data = make_corpus(size)
+    n_streams = 16
+    chunk = -(-len(data) // n_streams)
+    pieces = [data[i * chunk:(i + 1) * chunk] for i in range(n_streams)]
+    payloads = [zlib.compress(p, 6) for p in pieces]
+    mesh = make_mesh(n_devices=n_dev, sp=1)
+    best = None
+    for it in range(3):
+        t0 = time.perf_counter()
+        outs = shard.decode_streams_sharded(payloads, mesh, format="zlib")
+        dt = time.perf_counter() - t0
+        if it:  # first iteration pays compiles
+            best = dt if best is None or dt < best else best
+    assert b"".join(outs) == data, "sharded decode mismatch"
+    print(json.dumps({"n_dev": n_dev, "gbps": size / best / 1e9}))
+
+
+if __name__ == "__main__":
+    main()

@@ -314,75 +314,97 @@ def resolve_grid_bytes(tape, input_bytes, window: bytes = b"",
 
 
 @functools.partial(jax.jit, static_argnames=("n_rows_out", "seg_rows"))
-def _resolve_flat_impl(srcaddr, lenoff, g_rows, b_segrow, out0, window_rows,
-                       n_rows_out: int, seg_rows: int):
+def _resolve_flat_impl(srcaddr, lenoff, g_rows, seg_lo, seg_hi, seg_base,
+                       out0, window_rows, n_rows_out: int, seg_rows: int):
     """srcaddr (NB,G,K) int32 table byte address (= global src + 32768);
     lenoff (NB,G,K) int16 = dstoff<<8 | len; g_rows (NB,G) int32 target
-    row RELATIVE to the batch's segment; b_segrow (NB,) int32 segment
-    base table row; out0 (n_rows_out,32)/window_rows (256,32) uint32
-    word rows. Returns (n_rows_out, 32) uint32 resolved output rows.
+    row RELATIVE to the batch's segment; seg_lo/seg_hi/seg_base (S,)
+    int32 = each segment's [batch range) and base table row; out0
+    (n_rows_out,32)/window_rows (256,32) uint32 word rows. Returns
+    (n_rows_out, 32) uint32 resolved output rows.
 
-    Scatter-adds land in a seg_rows-row dynamic slice of the table
-    (batches are segment-pure by the planner): row scatter into a >=4MB
-    HBM table measured ~18M rows/s on the target chip vs ~83M+ into
-    VMEM-sized slices, while the contiguous slice in/out is a DMA copy
-    and the global row GATHER is fast at every table size."""
+    Nested-loop structure (measured on the target chip): row scatter
+    into a >=4MB HBM table runs ~18M rows/s vs ~83M+ into VMEM-sized
+    targets, and a per-batch dynamic slice/update of the table costs
+    table-sized copies (a slice-per-batch variant measured ~480us/batch
+    of pure overhead at 8MB). So the OUTER fori walks segments and
+    touches the table once per segment (slice + add + update), while
+    the INNER fori walks the segment's batches with the table as a
+    loop-INVARIANT gather source and scatter-adds into a small carried
+    (seg_rows, 32) accumulator. Same-segment reads are served by
+    table[u] + acc[u - base]: literal prefill lives in the table, match
+    contributions in acc, and the two never overlap a byte. Batches
+    outside every segment range (shape padding) never execute."""
     NB, G, K = srcaddr.shape
     B = G * K
+    S = seg_base.shape[0]
     table0 = jnp.concatenate([window_rows, out0], axis=0)
     lane128 = jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1)
 
-    def step(table, xs):
-        sa, lo_, gr, segrow = xs
-        sa_f = sa.reshape(B)
-        u = sa_f >> 7
-        a = sa_f & 127
-        lo_f = lo_.reshape(B).astype(jnp.int32)
-        o = jax.lax.shift_right_logical(lo_f, 8) & 127
-        ln = lo_f & 255
+    def seg_body(s, table):
+        base = seg_base[s]
 
-        frame = table[u]                                # (B, 32) u32
-        # barrel: ROTATE flat bytes left by t = (a-o) & 127 within the
-        # 128B row, so al[o+i] = frame[(o+i+t) & 127] = frame[a+i] —
-        # valid because the planner never lets a span straddle its src
-        # row (a+len <= 128), so the wrap never lands inside the masked
-        # span. 5 word stages + 2 byte-in-word stages on 32 uint32
-        # lanes; the round-3a shift formulation needed 8 stages on 64
-        # lanes (2.3x the vector traffic).
-        t = (a - o) & 127
-        q = t >> 2
-        r = t & 3
-        x = frame
-        for k in range(5):
-            s = 1 << k
-            rolled = jnp.concatenate([x[:, s:], x[:, :s]], axis=1)
-            bit = ((q >> k) & 1).astype(bool)[:, None]
-            x = jnp.where(bit, rolled, x)
-        for k in range(2):
-            sb = 8 << k
-            nxt = jnp.concatenate([x[:, 1:], x[:, :1]], axis=1)
-            shifted = (jax.lax.shift_right_logical(x, jnp.uint32(sb))
-                       | (nxt << jnp.uint32(32 - sb)))
-            bit = ((r >> k) & 1).astype(bool)[:, None]
-            x = jnp.where(bit, shifted, x)
-        al = x                                          # (B, 32)
+        def batch_body(b, acc):
+            sa = jax.lax.dynamic_slice(srcaddr, (b, 0, 0),
+                                       (1, G, K)).reshape(B)
+            lo_f = jax.lax.dynamic_slice(lenoff, (b, 0, 0),
+                                         (1, G, K)).reshape(B)
+            lo_f = lo_f.astype(jnp.int32)
+            gr = jax.lax.dynamic_slice(g_rows, (b, 0), (1, G)).reshape(G)
+            u = sa >> 7
+            a = sa & 127
+            o = jax.lax.shift_right_logical(lo_f, 8) & 127
+            ln = lo_f & 255
 
-        mask8 = jnp.where((lane128 >= o[:, None])
-                          & (lane128 < (o + ln)[:, None]),
-                          jnp.uint8(0xFF), jnp.uint8(0))
-        mask = jax.lax.bitcast_convert_type(
-            mask8.reshape(B, 32, 4), jnp.uint32)
-        al = al & mask
+            frame = table[u]                            # (B, 32) u32
+            rel = u - base
+            in_seg = (rel >= 0) & (rel < seg_rows)
+            facc = acc[jnp.clip(rel, 0, seg_rows - 1)]
+            frame = frame + jnp.where(in_seg[:, None], facc,
+                                      jnp.uint32(0))
 
-        contrib = (al.reshape(G, K, 32)
-                   .sum(axis=1, dtype=jnp.uint32))      # (G, 32)
-        seg = jax.lax.dynamic_slice(table, (segrow, 0), (seg_rows, 32))
-        seg = seg.at[gr].add(contrib)
-        table = jax.lax.dynamic_update_slice(table, seg, (segrow, 0))
-        return table, None
+            # barrel: ROTATE flat bytes left by t = (a-o) & 127 within
+            # the 128B row, so al[o+i] = frame[(o+i+t) & 127] =
+            # frame[a+i] — valid because the planner never lets a span
+            # straddle its src row (a+len <= 128), so the wrap never
+            # lands inside the masked span. 5 word stages + 2
+            # byte-in-word stages on 32 uint32 lanes; the round-3a
+            # shift formulation needed 8 stages on 64 lanes.
+            t = (a - o) & 127
+            q = t >> 2
+            r = t & 3
+            x = frame
+            for k in range(5):
+                sh = 1 << k
+                rolled = jnp.concatenate([x[:, sh:], x[:, :sh]], axis=1)
+                bit = ((q >> k) & 1).astype(bool)[:, None]
+                x = jnp.where(bit, rolled, x)
+            for k in range(2):
+                sb = 8 << k
+                nxt = jnp.concatenate([x[:, 1:], x[:, :1]], axis=1)
+                shifted = (jax.lax.shift_right_logical(x, jnp.uint32(sb))
+                           | (nxt << jnp.uint32(32 - sb)))
+                bit = ((r >> k) & 1).astype(bool)[:, None]
+                x = jnp.where(bit, shifted, x)
+            al = x                                      # (B, 32)
 
-    table, _ = jax.lax.scan(step, table0,
-                            (srcaddr, lenoff, g_rows, b_segrow))
+            mask8 = jnp.where((lane128 >= o[:, None])
+                              & (lane128 < (o + ln)[:, None]),
+                              jnp.uint8(0xFF), jnp.uint8(0))
+            mask = jax.lax.bitcast_convert_type(
+                mask8.reshape(B, 32, 4), jnp.uint32)
+            al = al & mask
+
+            contrib = (al.reshape(G, K, 32)
+                       .sum(axis=1, dtype=jnp.uint32))  # (G, 32)
+            return acc.at[gr].add(contrib)
+
+        acc0 = jnp.zeros((seg_rows, 32), jnp.uint32)
+        acc = jax.lax.fori_loop(seg_lo[s], seg_hi[s], batch_body, acc0)
+        seg = jax.lax.dynamic_slice(table, (base, 0), (seg_rows, 32))
+        return jax.lax.dynamic_update_slice(table, seg + acc, (base, 0))
+
+    table = jax.lax.fori_loop(0, S, seg_body, table0)
     return table[W_ROWS:]
 
 
@@ -395,13 +417,33 @@ def stage_flat_plan(plan, window: bytes = b""):
     srcaddr = np.zeros((NB_pad, G, K), np.int32)
     lenoff = np.zeros((NB_pad, G, K), np.int16)
     g_rows = np.zeros((NB_pad, G), np.int32)
-    b_segrow = np.full(NB_pad, W_ROWS, np.int32)  # pad: first segment
     if plan.n_batches:
         srcaddr[:NB] = plan.srcaddr.reshape(NB, G, K)
         lenoff[:NB] = plan.lenoff.reshape(NB, G, K)
         g_rows[:NB] = plan.g_row.reshape(NB, G)
-        b_segrow[:NB] = plan.b_segrow
-        b_segrow[NB:] = plan.b_segrow[NB - 1]
+
+    # segment table from the per-batch segment rows: runs of equal
+    # b_segrow become [seg_lo, seg_hi) batch ranges. Shape-padded
+    # entries get empty ranges — the kernel's inner loop never runs
+    # them, so batch padding costs nothing on device.
+    if plan.n_batches:
+        bs = plan.b_segrow
+        starts = np.flatnonzero(np.r_[True, bs[1:] != bs[:-1]])
+        seg_base_v = bs[starts]
+        seg_lo_v = starts
+        seg_hi_v = np.r_[starts[1:], NB]
+    else:
+        seg_base_v = np.array([W_ROWS], np.int32)
+        seg_lo_v = np.array([0], np.int32)
+        seg_hi_v = np.array([0], np.int32)
+    S = len(seg_base_v)
+    S_pad = _pad_batches(S, floor=1)
+    seg_base = np.full(S_pad, seg_base_v[-1], np.int32)
+    seg_lo = np.full(S_pad, NB_pad, np.int32)
+    seg_hi = np.full(S_pad, NB_pad, np.int32)
+    seg_base[:S] = seg_base_v
+    seg_lo[:S] = seg_lo_v
+    seg_hi[:S] = seg_hi_v
 
     # pow2 >= seg_rows and a multiple of it: the last segment's dynamic
     # slice [segrow, segrow + seg_rows) always stays inside the table
@@ -416,7 +458,8 @@ def stage_flat_plan(plan, window: bytes = b""):
         w = np.frombuffer(bytes(window)[-32768:], np.uint8)
         w8[32768 - len(w):] = w
     wrows = w8.view("<u4").reshape(W_ROWS, 32)
-    return (srcaddr, lenoff, g_rows, b_segrow, out0, wrows), n_rows_out
+    return (srcaddr, lenoff, g_rows, seg_lo, seg_hi, seg_base, out0,
+            wrows), n_rows_out
 
 
 def resolve_flat_device(tape, input_bytes, window: bytes = b"",
