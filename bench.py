@@ -240,32 +240,45 @@ def bench_device_e2e(payload: bytes, data: bytes, timeout_s: float = 600.0):
         return None
 
 
-def bench_scaling(size: int):
-    """Virtual-device scaling curve: decode_streams_sharded throughput
-    at 1/2/4/8 CPU devices via subprocess (host device count is fixed at
-    process startup). Returns (efficiency_at_ncores, curve dict)."""
+def bench_scaling(per_dev: int):
+    """Virtual-device WEAK-scaling curve: decode_streams_sharded wall
+    time at 1/2/4 CPU devices with FIXED per-device work (subprocess
+    per point — host device count is fixed at process startup). Ideal
+    weak scaling is constant wall time; efficiency_n = t_1 / t_n. This
+    pins the methodology for a real slice: it exposes serialization in
+    bucketing / shard_map dispatch / ordered gather without being
+    confounded by virtual devices sharing physical cores (strong
+    scaling cannot speed up on one host by construction).
+    Returns (efficiency at the largest in-core point, curve dict)."""
     import subprocess
     here = os.path.dirname(os.path.abspath(__file__))
     script = os.path.join(here, "scripts", "scaling_probe.py")
     ncores = os.cpu_count() or 4
+    points = [n for n in (1, 2, 4) if n <= ncores]
     curve = {}
-    for n in (1, 2, 4, 8):
+    import shutil
+    taskset = shutil.which("taskset")
+    for n in points:
         try:
+            # pin n cores for n devices — without it, the n=1 point
+            # already uses every core via XLA intra-op parallelism and
+            # the curve measures nothing
+            pre = [taskset, "-c", f"0-{n - 1}"] if taskset else []
             out = subprocess.run(
-                [sys.executable, script, str(n), str(size)],
+                pre + [sys.executable, script, str(n), str(per_dev)],
                 capture_output=True, timeout=600, text=True)
             line = out.stdout.strip().splitlines()[-1]
-            curve[n] = json.loads(line)["gbps"]
+            curve[n] = json.loads(line)["t"]
         except Exception as e:  # noqa: BLE001
             log(f"[bench] scaling probe n={n} failed "
                 f"({type(e).__name__}: {e})")
             return None, curve
-    log("[bench] sharded-decode scaling (virtual CPU devices): " +
-        "  ".join(f"{n}dev={g:.2f}GB/s" for n, g in curve.items()) +
-        f"  [{ncores} physical cores: the >= {ncores}-device points "
-        f"share cores and are expected to flatten]")
-    n_eff = min(ncores, 4)
-    eff = curve[n_eff] / (n_eff * curve[1]) if curve.get(1) else None
+    log("[bench] sharded-decode weak scaling (virtual CPU devices, "
+        f"{per_dev >> 20}MB/device): " +
+        "  ".join(f"{n}dev={t * 1000:.0f}ms" for n, t in curve.items()) +
+        f"  [{ncores} physical cores]")
+    n_top = points[-1]
+    eff = curve[1] / curve[n_top] if curve.get(1) else None
     return eff, curve
 
 
@@ -391,10 +404,10 @@ def main():
     log(f"[bench] encode L6 segment-parallel ({os.cpu_count()} threads): "
         f"{enc_mt_mbps:.1f} MB/s")
 
-    scaling_eff, _curve = bench_scaling(min(size, 8 << 20))
+    scaling_eff, _curve = bench_scaling(min(size, 16 << 20) // 4)
     if scaling_eff is not None:
-        log(f"[bench] scaling efficiency (virtual-device curve at "
-            f"min(cores,4) devices): {scaling_eff:.2f}")
+        log(f"[bench] weak-scaling efficiency (t_1dev / t_4dev, fixed "
+            f"per-device work): {scaling_eff:.2f}")
 
     result = {
         "metric": "sharded_inflate_GBps_single_host",

@@ -1,11 +1,24 @@
 #!/usr/bin/env python
-"""Scaling-efficiency helper: decode_streams_sharded throughput on an
-n-virtual-device CPU mesh. Run as a subprocess by bench.py (one process
-per device count — XLA's host device count is fixed at startup).
+"""Scaling-efficiency helper: decode_streams_sharded WEAK scaling on an
+n-virtual-device CPU mesh — per-device work is fixed (4 streams of
+per_dev/4 bytes each per device), so ideal scaling is constant wall
+time and efficiency_n = t_1 / t_n. Strong scaling is meaningless here:
+virtual devices share the host's physical cores, so adding devices
+cannot shrink wall time; weak scaling still exposes any serialization
+in the sharded-decode path (bucketing, shard_map dispatch, ordered
+gather), which is the part that transfers to a real multi-chip slice.
 
-Prints ONE JSON line {"n_dev": N, "gbps": X} on stdout; detail to
-stderr. The ambient TPU plugin ignores the JAX_PLATFORMS env var, so
-the CPU platform is forced via config.update (same workaround as
+Calibration: a PURE fixed-work-per-device jit (elementwise fori, no
+host stages) measures t_1/t_4 ~= 0.75 on this platform (2026-08-17,
+taskset n cores for n devices) — the virtual-CPU mesh's own dispatch
+overhead caps the curve well below 1.0, so decode efficiencies should
+be read against that ceiling, not against 1.0.
+
+Run as a subprocess by bench.py (one process per device count — XLA's
+host device count is fixed at startup). Prints ONE JSON line
+{"n_dev": N, "t": seconds, "gbps": X} on stdout; detail to stderr.
+The ambient TPU plugin ignores the JAX_PLATFORMS env var, so the CPU
+platform is forced via config.update (same workaround as
 tests/conftest.py).
 """
 import json
@@ -15,7 +28,7 @@ import time
 import zlib
 
 n_dev = int(sys.argv[1])
-size = int(sys.argv[2]) if len(sys.argv) > 2 else 8 << 20
+per_dev = int(sys.argv[2]) if len(sys.argv) > 2 else 2 << 20
 os.environ["XLA_FLAGS"] = (os.environ.get("XLA_FLAGS", "") +
                            f" --xla_force_host_platform_device_count={n_dev}")
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
@@ -30,21 +43,23 @@ from tbz.parallel.mesh import make_mesh  # noqa: E402
 
 
 def main():
+    size = per_dev * n_dev
     data = make_corpus(size)
-    n_streams = 16
+    n_streams = 4 * n_dev
     chunk = -(-len(data) // n_streams)
     pieces = [data[i * chunk:(i + 1) * chunk] for i in range(n_streams)]
     payloads = [zlib.compress(p, 6) for p in pieces]
     mesh = make_mesh(n_devices=n_dev, sp=1)
     best = None
-    for it in range(3):
+    for it in range(5):
         t0 = time.perf_counter()
         outs = shard.decode_streams_sharded(payloads, mesh, format="zlib")
         dt = time.perf_counter() - t0
         if it:  # first iteration pays compiles
             best = dt if best is None or dt < best else best
     assert b"".join(outs) == data, "sharded decode mismatch"
-    print(json.dumps({"n_dev": n_dev, "gbps": size / best / 1e9}))
+    print(json.dumps({"n_dev": n_dev, "t": best,
+                      "gbps": size / best / 1e9}))
 
 
 if __name__ == "__main__":

@@ -34,16 +34,23 @@ W = R.W
 def _resolve_batch(out_len, dist, root_val, n_tokens, total_out,
                    input_bytes, window, out_capacity: int):
     f = functools.partial(R._resolve_impl, out_capacity=out_capacity)
-    return jax.vmap(f)(out_len, dist, root_val, n_tokens, total_out,
-                       input_bytes, window)
+    out = jax.vmap(f)(out_len, dist, root_val, n_tokens, total_out,
+                      input_bytes, window)
+    # strip the per-member window prefix INSIDE the jit: an eager
+    # out[:, W:] on the sharded result lowered to a whole-array XLA
+    # gather per bucket (measured 60ms/bucket at 8MB — the dominant
+    # serial cost of the weak-scaling curve)
+    return out[:, R.W:]
 
 
+@jax.jit
 def _crc_batch(bodies, lens):
     f = lambda d, n: cs._crc32_device_tail(d, n, jnp.uint32(0),
                                            cs.CRC_LANE_BYTES)
     return jax.vmap(f)(bodies, jnp.asarray(lens, jnp.uint32))
 
 
+@jax.jit
 def _adler_batch(bodies, lens):
     f = lambda d, n: cs._adler32_device_tail(d, n, jnp.uint32(1),
                                              cs.ADLER_CHUNK)
@@ -137,14 +144,19 @@ def decode_streams_sharded(payloads: list[bytes], mesh=None,
     ndev = mesh.devices.size
 
     # Host frontends are per-stream independent; ctypes releases the GIL.
+    # Pool sized to the host, not a fixed 4: the frontend and staging
+    # stages must scale with the mesh for weak scaling to hold.
     import concurrent.futures
+    import os as _os
+    _n_threads = min(32, max(4, _os.cpu_count() or 4))
+
     def front(p):
         try:
             return _tokenize_members(p, format)
         except DeflateError as e:
             return e
 
-    with concurrent.futures.ThreadPoolExecutor(4) as ex:
+    with concurrent.futures.ThreadPoolExecutor(_n_threads) as ex:
         per_stream = list(ex.map(front, payloads))
 
     # Flatten healthy members into work items; bucket by padded shape.
@@ -195,33 +207,52 @@ def decode_streams_sharded(payloads: list[bytes], mesh=None,
 
     for (T, cap, M), its in buckets.items():
         S_pad = -(-len(its) // ndev) * ndev
-        out_len = np.zeros((S_pad, T), np.int32)
-        dist = np.zeros((S_pad, T), np.int32)
-        root_val = np.zeros((S_pad, T), np.int32)
+        # np.empty + threaded per-member row fill: the zeros+serial-copy
+        # staging was the dominant serial cost of the weak-scaling curve
+        # (0.26s of a 0.42s 8MB/4dev decode); large numpy copies release
+        # the GIL, so rows stage in parallel. Pad rows must still be
+        # zeroed (the resolver reads them).
+        out_len = np.empty((S_pad, T), np.int32)
+        dist = np.empty((S_pad, T), np.int32)
+        root_val = np.empty((S_pad, T), np.int32)
         n_tokens = np.zeros(S_pad, np.int32)
         total_out = np.zeros(S_pad, np.int32)
-        inputs = np.zeros((S_pad, M), np.uint8)
+        inputs = np.empty((S_pad, M), np.uint8)
         windows = np.zeros((S_pad, W), np.uint8)
-        for i, (_, _, mem) in enumerate(its):
+
+        def stage_row(i):
+            if i >= len(its):
+                out_len[i] = 0
+                dist[i] = 0
+                root_val[i] = 0
+                inputs[i] = 0
+                return
+            mem = its[i][2]
             t = mem["res"].tape
             n = len(t)
             out_len[i, :n] = t.out_len
+            out_len[i, n:] = 0
             dist[i, :n] = t.dist
+            dist[i, n:] = 0
             root_val[i, :n] = t.root_val
+            root_val[i, n:] = 0
             n_tokens[i] = n
             total_out[i] = t.total_out
             body = mem["body"]
             inputs[i, :len(body)] = np.frombuffer(body, np.uint8)
+            inputs[i, len(body):] = 0
+
+        with concurrent.futures.ThreadPoolExecutor(_n_threads) as sx:
+            list(sx.map(stage_row, range(S_pad)))
 
         def put(x):
             spec = P("dp", *([None] * (x.ndim - 1)))
             return jax.device_put(x, NamedSharding(mesh, spec))
 
         try:
-            out = _resolve_batch(put(out_len), put(dist), put(root_val),
-                                 put(n_tokens), put(total_out), put(inputs),
-                                 put(windows), cap)
-            bodies = out[:, W:]
+            bodies = _resolve_batch(put(out_len), put(dist), put(root_val),
+                                    put(n_tokens), put(total_out),
+                                    put(inputs), put(windows), cap)
             # only the checksum kinds present in this bucket (device-
             # resident input: one D2H per bucket for the outputs, none
             # for checksums)
