@@ -397,12 +397,22 @@ def main():
     enc_mbps = enc_n / te / 1e6
     log(f"[bench] encode L6 on {enc_n >> 20}MB: ours {osz} vs libz {lsz} "
         f"(ratio {osz / lsz:.4f}) {enc_mbps:.1f} MB/s")
-    from tbz import deflate_encode as de_mod
-    t0 = time.perf_counter()
-    de_mod.deflate_raw_parallel(data[:enc_n], 6, threads=os.cpu_count() or 4)
-    enc_mt_mbps = enc_n / (time.perf_counter() - t0) / 1e6
-    log(f"[bench] encode L6 segment-parallel ({os.cpu_count()} threads): "
-        f"{enc_mt_mbps:.1f} MB/s")
+    # process-parallel encode, probed in a clean subprocess: the fork
+    # pool must not run inside this (jax-initialized) process
+    enc_mt_mbps = None
+    try:
+        import subprocess
+        here = os.path.dirname(os.path.abspath(__file__))
+        out = subprocess.run(
+            [sys.executable, os.path.join(here, "scripts",
+                                          "encode_probe.py"), str(enc_n)],
+            capture_output=True, timeout=600, text=True)
+        enc_mt_mbps = json.loads(out.stdout.strip().splitlines()[-1])["mbps"]
+        log(f"[bench] encode L6 segment-parallel ({os.cpu_count()} "
+            f"processes): {enc_mt_mbps:.1f} MB/s")
+    except Exception as e:  # noqa: BLE001
+        log(f"[bench] parallel-encode probe failed "
+            f"({type(e).__name__}: {e})")
 
     scaling_eff, _curve = bench_scaling(min(size, 16 << 20) // 4)
     if scaling_eff is not None:
@@ -416,8 +426,9 @@ def main():
         "vs_baseline": round(multi_gbps / BASELINE_GBPS, 2),
         "encode_ratio_vs_libz_L6": round(osz / lsz, 4),
         "encode_MBps_L6": round(enc_mbps, 2),
-        "encode_mt_MBps_L6": round(enc_mt_mbps, 2),
     }
+    if enc_mt_mbps is not None:
+        result["encode_mt_MBps_L6"] = round(enc_mt_mbps, 2)
     if scaling_eff is not None:
         result["scaling_efficiency"] = round(scaling_eff, 3)
     if dev_resolve is not None:
