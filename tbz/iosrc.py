@@ -63,9 +63,25 @@ class MappedFile:
 
 
 def iter_stream(fileobj, chunk_size: int = 1 << 20):
-    """Chunk iterator over a binary stream (the stream context role)."""
+    """Chunk iterator over a binary stream (the stream context role).
+
+    Seekable streams get the reference's %resync-file-stream contract
+    (io-common.lisp:60-63): the iterator tracks its own byte offset and
+    re-seeks before every read, so a caller that moves the file
+    position between pulls (e.g. to peek elsewhere) does not corrupt
+    the decode. Unseekable streams are consumed as-is."""
+    pos = None
+    try:
+        if fileobj.seekable():
+            pos = fileobj.tell()
+    except (AttributeError, OSError):
+        pos = None
     while True:
+        if pos is not None and fileobj.tell() != pos:
+            fileobj.seek(pos)
         piece = fileobj.read(chunk_size)
         if not piece:
             return
+        if pos is not None:
+            pos += len(piece)
         yield piece

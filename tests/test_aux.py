@@ -93,6 +93,23 @@ def test_decompress_stream(tmp_path):
     assert b"".join(chunks) == data
 
 
+def test_decompress_stream_resyncs_moved_position(tmp_path):
+    """%resync-file-stream contract (io-common.lisp:60-63): a caller
+    that moves the file position between pulls must not corrupt the
+    decode — the iterator re-seeks to its own tracked offset."""
+    import io
+    data = corpus(13, 250000)
+    payload = zlib.compress(data, 6)
+    f = io.BytesIO(payload)
+    gen = api.decompress_stream(f, chunk_size=1000)
+    got = []
+    for i, chunk in enumerate(gen):
+        got.append(chunk)
+        if i % 3 == 0:
+            f.seek(0)  # caller wanders off between pulls
+    assert b"".join(got) == data
+
+
 def test_compressor_roundtrip_through_api():
     data = corpus(10, 100000)
     co = Compressor("gzip", 9, name="stream.bin")
