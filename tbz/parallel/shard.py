@@ -122,7 +122,8 @@ def _tokenize_members(payload: bytes, format: str):
 
 def decode_streams_sharded(payloads: list[bytes], mesh=None,
                            format: str = "auto", verify: bool = True,
-                           return_errors: bool = False):
+                           return_errors: bool = False,
+                           device_resident: bool = False):
     """Decode independent raw/zlib/gzip streams data-parallel over the
     mesh's 'dp' axis. Returns a list of per-stream outputs (bytes), in
     stream order. With return_errors=True, a corrupt stream yields its
@@ -135,6 +136,13 @@ def decode_streams_sharded(payloads: list[bytes], mesh=None,
     not inflate the padding of small ones; each bucket resolves and
     checksums (only the kind its framing needs) on the device mesh, and
     outputs come back in stream order.
+
+    device_resident=True keeps decoded bytes ON DEVICE: each stream's
+    entry is a list of (sharded uint8 device array, length) members
+    (consumers slice arr[:length]); only the small checksum vectors
+    cross to the host. This is the template for a real slice, where the
+    decoded tensors feed further device compute and an all-bytes D2H
+    would throw away the point of decoding there.
     """
     from ..errors import DeflateError
     from ..formats import gzip_fmt, zlib_fmt
@@ -262,18 +270,20 @@ def decode_streams_sharded(payloads: list[bytes], mesh=None,
             adlers = (np.asarray(_adler_batch(bodies,
                                               jnp.asarray(total_out)))
                       if verify and "adler32" in kinds else None)
-            host = np.asarray(bodies)
+            host = None if device_resident else np.asarray(bodies)
         except DeflateError:
             raise  # data errors are not device trouble; no retry
         except Exception as e:  # noqa: BLE001 — transient device failure
             host_retry(its, e)
             continue
         for i, (si, mi, mem) in enumerate(its):
-            ob = host[i, :int(total_out[i])].tobytes()
+            n = int(total_out[i])
+            ob = (bodies[i], n) if device_resident \
+                else host[i, :n].tobytes()
             try:
                 if verify and mem["kind"] == "crc32":
                     gzip_fmt.check_trailer(mem["expect"], int(crcs[i]),
-                                           mem["isize"], len(ob))
+                                           mem["isize"], n)
                 elif verify and mem["kind"] == "adler32":
                     zlib_fmt.check_adler(mem["expect"], int(adlers[i]))
             except DeflateError as e:
@@ -291,8 +301,14 @@ def decode_streams_sharded(payloads: list[bytes], mesh=None,
             outputs.append(member_err[si])
             first_error = first_error or member_err[si]
             continue
-        outputs.append(b"".join(member_out[(si, mi)]
-                                for mi in range(len(m))))
+        if device_resident:
+            # list of (device array, length) members; a host-retried
+            # member appears as plain bytes (the fallback already paid
+            # the D2H by definition)
+            outputs.append([member_out[(si, mi)] for mi in range(len(m))])
+        else:
+            outputs.append(b"".join(member_out[(si, mi)]
+                                    for mi in range(len(m))))
     if first_error is not None and not return_errors:
         raise first_error
     return outputs

@@ -192,3 +192,20 @@ def test_shard_zlib_trailing_junk_errors(mesh):
                                         format="zlib", return_errors=True)
     assert outs[0] == data
     assert isinstance(outs[1], DeflateError)
+
+
+def test_shard_device_resident_outputs(mesh):
+    """device_resident=True returns (sharded device array, length)
+    members and fetches no body bytes (the real-slice template: decoded
+    tensors feed device compute; only checksums cross to host)."""
+    import numpy as np
+    streams = [corpus(80 + i, 30000 + 997 * i) for i in range(4)]
+    payloads = [zlib.compress(s, 6) for s in streams]
+    outs = shard.decode_streams_sharded(payloads, mesh, format="zlib",
+                                        device_resident=True)
+    for want, members in zip(streams, outs):
+        assert len(members) == 1
+        arr, n = members[0]
+        assert n == len(want)
+        assert hasattr(arr, "devices")  # still a jax array
+        assert bytes(np.asarray(arr[:n])) == want
