@@ -9,11 +9,31 @@
 //
 // Build: g++ -O3 -shared -fPIC -o libtbz.so frontend.cc
 
+#include <algorithm>
+#include <atomic>
 #include <cstdint>
+#include <cstdio>
 #include <cstdlib>
 #include <cstring>
+#include <ctime>
+#include <thread>
 #include <utility>
 #include <vector>
+
+// TBZ_PLAN_TIMING=1: phase timing of the flat planner to stderr.
+static double now_ms() {
+  struct timespec ts;
+  clock_gettime(CLOCK_MONOTONIC, &ts);
+  return ts.tv_sec * 1e3 + ts.tv_nsec * 1e-6;
+}
+static bool plan_timing() {
+  static int v = -1;
+  if (v < 0) {
+    const char* e = std::getenv("TBZ_PLAN_TIMING");
+    v = (e && e[0] == '1') ? 1 : 0;
+  }
+  return v == 1;
+}
 
 namespace {
 
@@ -1940,6 +1960,7 @@ extern "C" int32_t tbz_plan_spans_flat(
     return ERR_TAPE_OVERFLOW;
   }
   std::memset(out0, 0, size_t(total));
+  double tp0 = plan_timing() ? now_ms() : 0.0;
 
   struct FSpan {
     int32_t src;  // global byte coord, may be negative (window/dict)
@@ -1983,73 +2004,110 @@ extern "C" int32_t tbz_plan_spans_flat(
     p += l;
   }
 
+  double tp1 = plan_timing() ? now_ms() : 0.0;
   // --- phase 1b: source redirect, global reach (the table holds the
   // whole output, so any already-resolved source is addressable; chase
-  // fully-contained sources to flat ancestors, split on straddles)
+  // fully-contained sources to flat ancestors, split on straddles).
+  // THREADED: contiguous span ranges chase in parallel against the
+  // read-only pre-redirect list. The memo is shared single-writer-per-
+  // entry (each index belongs to exactly one range): memo_src is
+  // plain, memo_ok an acquire/release flag — a racy miss just means a
+  // manual chase of the same (deterministic) value, so the flattened
+  // sources are identical to the serial result except where HOPX caps
+  // a chase that a memo hit would have shortcut (still byte-correct:
+  // the scheduler orders ANY source layout via last-writer tracking).
   {
     int64_t ns0 = int64_t(spans.size());
-    auto find_span = [&](int64_t pos) -> int64_t {
-      int64_t lo = 0, hi = ns0 - 1, ans = -1;
-      while (lo <= hi) {
-        int64_t mid = (lo + hi) >> 1;
-        if (spans[size_t(mid)].dst <= pos) {
-          ans = mid;
-          lo = mid + 1;
-        } else {
-          hi = mid - 1;
-        }
-      }
-      return ans;
+    const std::vector<FSpan>& base = spans;
+    // direct byte -> covering-span map (replaces a per-hop binary
+    // search; bytes not covered by any match span map to -1 = gen 0).
+    // Bulk-filled once: the chase loop's hops become O(1) loads.
+    std::vector<int32_t> pos2span((size_t(total)));
+    std::memset(pos2span.data(), 0xFF, size_t(total) * 4);
+    for (int64_t i = 0; i < ns0; i++) {
+      const FSpan& sp = base[size_t(i)];
+      for (int64_t x = sp.dst; x < int64_t(sp.dst) + sp.len; x++)
+        pos2span[size_t(x)] = int32_t(i);
+    }
+    auto find_span = [&pos2span, total](int64_t pos) -> int64_t {
+      if (pos < 0 || pos >= total) return -1;
+      return pos2span[size_t(pos)];
     };
     std::vector<int32_t> memo_src(size_t(ns0), 0);
-    std::vector<uint8_t> memo_ok(size_t(ns0), 0);
-    std::vector<FSpan> flat;
-    flat.reserve(spans.size() + spans.size() / 2);
-    int64_t split_budget = int64_t(spans.size()) * BUDX + 1024;
-    std::vector<FSpan> pend;
-    for (int64_t i = 0; i < ns0; i++) {
-      const FSpan& s0 = spans[size_t(i)];
-      FSpan cur = s0;
-      bool was_split = false;
-      pend.clear();
-      for (;;) {
-        for (int hops = 0; hops < HOPX; hops++) {
-          if (cur.src < 0) break;  // window/dict, resolved from step 0
-          int64_t ti = find_span(cur.src);
-          if (ti < 0) break;
-          const FSpan& t = spans[size_t(ti)];
-          int64_t t_end = int64_t(t.dst) + t.len;
-          if (cur.src >= t_end) break;  // lit/stored bytes (gen 0)
-          if (int64_t(cur.src) + cur.len <= t_end) {
-            if (memo_ok[size_t(ti)]) {
-              cur.src = memo_src[size_t(ti)] + (cur.src - t.dst);
-              break;  // memo target is already flat
+    std::vector<std::atomic<uint8_t>> memo_ok((size_t(ns0)));
+    for (auto& f : memo_ok) f.store(0, std::memory_order_relaxed);
+    unsigned hw = std::thread::hardware_concurrency();
+    unsigned T = std::min<unsigned>(hw ? hw : 4, 8);
+    if (ns0 < 65536) T = 1;
+    int64_t per = (ns0 + T - 1) / int64_t(T);
+    std::vector<std::vector<FSpan>> flats(T);
+    auto worker = [&](unsigned ti) {
+      int64_t lo = int64_t(ti) * per;
+      int64_t hi = std::min(ns0, lo + per);
+      if (lo >= hi) return;
+      std::vector<FSpan>& flat = flats[ti];
+      flat.reserve(size_t(hi - lo) + size_t(hi - lo) / 2);
+      int64_t split_budget = (hi - lo) * BUDX + 1024;
+      std::vector<FSpan> pend;
+      for (int64_t i = lo; i < hi; i++) {
+        const FSpan& s0 = base[size_t(i)];
+        FSpan cur = s0;
+        bool was_split = false;
+        pend.clear();
+        for (;;) {
+          for (int hops = 0; hops < HOPX; hops++) {
+            if (cur.src < 0) break;  // window/dict, resolved from step 0
+            int64_t tix = find_span(cur.src);
+            if (tix < 0) break;
+            const FSpan& t = base[size_t(tix)];
+            int64_t t_end = int64_t(t.dst) + t.len;
+            if (cur.src >= t_end) break;  // lit/stored bytes (gen 0)
+            if (int64_t(cur.src) + cur.len <= t_end) {
+              if (memo_ok[size_t(tix)].load(std::memory_order_acquire)) {
+                cur.src = memo_src[size_t(tix)] + (cur.src - t.dst);
+                break;  // memo target is already flat
+              }
+              cur.src -= t.dst - t.src;
+            } else if (split_budget > 0) {
+              int64_t l1 = t_end - cur.src;
+              pend.push_back({int32_t(cur.src + l1),
+                              int32_t(cur.dst + l1),
+                              int32_t(cur.len - l1)});
+              cur.len = int32_t(l1);
+              split_budget--;
+              was_split = true;
+            } else {
+              break;
             }
-            cur.src -= t.dst - t.src;
-          } else if (split_budget > 0) {
-            int64_t l1 = t_end - cur.src;
-            pend.push_back({int32_t(cur.src + l1), int32_t(cur.dst + l1),
-                            int32_t(cur.len - l1)});
-            cur.len = int32_t(l1);
-            split_budget--;
-            was_split = true;
-          } else {
-            break;
           }
+          flat.push_back(cur);
+          if (pend.empty()) break;
+          cur = pend.back();
+          pend.pop_back();
         }
-        flat.push_back(cur);
-        if (pend.empty()) break;
-        cur = pend.back();
-        pend.pop_back();
+        if (!was_split) {
+          memo_src[size_t(i)] = flat.back().src;
+          memo_ok[size_t(i)].store(1, std::memory_order_release);
+        }
       }
-      if (!was_split) {
-        memo_src[size_t(i)] = flat.back().src;
-        memo_ok[size_t(i)] = 1;
-      }
+    };
+    if (T == 1) {
+      worker(0);
+    } else {
+      std::vector<std::thread> ths;
+      for (unsigned ti = 0; ti < T; ti++) ths.emplace_back(worker, ti);
+      for (auto& th : ths) th.join();
     }
+    size_t tot = 0;
+    for (auto& f : flats) tot += f.size();
+    std::vector<FSpan> flat;
+    flat.reserve(tot);
+    for (auto& f : flats)
+      flat.insert(flat.end(), f.begin(), f.end());
     spans.swap(flat);
   }
 
+  double tp2 = plan_timing() ? now_ms() : 0.0;
   // --- phase 1c: src 128B-row chop (single-row frame contract). Table
   // byte address = src + 32768 (window rows 0..255); a span must not
   // straddle a table row, and the window offset preserves 128-alignment.
@@ -2081,24 +2139,124 @@ extern "C" int32_t tbz_plan_spans_flat(
   // (once per seg_rows*128 output bytes). last_w is byte-granular; bytes
   // of earlier segments are resolved before this segment's first batch
   // runs, so only same-segment writers constrain placement.
-  std::vector<int32_t> last_w(size_t(total), -1);
+  double tp3 = plan_timing() ? now_ms() : 0.0;
   struct BatchBuf {
     std::vector<int32_t> rows;
     std::vector<int32_t> srcaddr;  // groups*K
     std::vector<int16_t> lenoff;
     std::vector<uint8_t> fill;
   };
-  std::vector<BatchBuf> bs;
-  int32_t cur_row = -1;
-  // open groups of cur_row: (batch, group index) pairs
-  std::vector<std::pair<int32_t, int32_t>> row_open;
-  int64_t n_spans = 0;
-  int64_t nb = 0;            // batches emitted (sealed segments)
-  int64_t cur_seg = 0;       // segment index of the open batches
   const int64_t seg_bytes = seg_rows * 128;
+  const int64_t n_segs = total ? (total + seg_bytes - 1) / seg_bytes : 0;
 
-  auto seal_segment = [&]() -> int32_t {
-    for (const BatchBuf& B : bs) {
+  // segment boundaries in the dst-sorted span list
+  std::vector<int64_t> seg_first(size_t(n_segs) + 1, int64_t(spans.size()));
+  {
+    int64_t seg = -1;
+    for (int64_t i = 0; i < int64_t(spans.size()); i++) {
+      int64_t s = spans[size_t(i)].dst / seg_bytes;
+      while (seg < s) seg_first[size_t(++seg)] = i;
+    }
+    while (seg < n_segs) seg_first[size_t(++seg)] = int64_t(spans.size());
+  }
+
+  // THREADED per-segment list scheduling: segments are independent by
+  // construction (earlier segments + the prefill are fully resolved
+  // before a segment's first batch runs; only same-segment writers
+  // constrain placement). Each worker schedules its segments into
+  // local BatchBufs with a segment-local byte-granular last-writer
+  // array; emission into the output arrays is serial in segment order.
+  std::vector<std::vector<BatchBuf>> seg_bs((size_t(n_segs)));
+  std::atomic<int64_t> next_seg{0};
+  auto sched_worker = [&]() {
+    std::vector<int32_t> last_w;
+    std::vector<std::pair<int32_t, int32_t>> row_open;
+    for (;;) {
+      int64_t sg = next_seg.fetch_add(1);
+      if (sg >= n_segs) return;
+      int64_t seg_base = sg * seg_bytes;
+      int64_t lim = std::min(seg_bytes, total - seg_base);
+      last_w.assign(size_t(lim), -1);
+      row_open.clear();
+      std::vector<BatchBuf>& bs = seg_bs[size_t(sg)];
+      int32_t cur_row = -1;
+      for (int64_t i = seg_first[size_t(sg)];
+           i < seg_first[size_t(sg) + 1]; i++) {
+        const FSpan& s = spans[size_t(i)];
+        int32_t drow = s.dst >> 7;
+        if (drow != cur_row) {
+          cur_row = drow;
+          row_open.clear();
+        }
+        int32_t b0 = 0;
+        {
+          int64_t a = s.src < seg_base ? seg_base : int64_t(s.src);
+          int64_t e = int64_t(s.src) + s.len;
+          for (int64_t x = a; x < e; x++) {
+            int32_t w = last_w[size_t(x - seg_base)];
+            if (w >= b0) b0 = w + 1;
+          }
+        }
+        int32_t chosen = -1, gidx = -1;
+        for (;;) {
+          if (b0 >= int32_t(bs.size())) bs.emplace_back();
+          BatchBuf& B = bs[size_t(b0)];
+          gidx = -1;
+          for (auto& pr : row_open)
+            if (pr.first == b0 && B.fill[size_t(pr.second)] < K) {
+              gidx = pr.second;
+              break;
+            }
+          if (gidx >= 0) {
+            chosen = b0;
+            break;
+          }
+          if (int64_t(B.rows.size()) < G) {
+            gidx = int32_t(B.rows.size());
+            B.rows.push_back(int32_t(drow - sg * seg_rows));
+            B.srcaddr.resize(B.srcaddr.size() + size_t(K), 0);
+            B.lenoff.resize(B.lenoff.size() + size_t(K), 0);
+            B.fill.push_back(0);
+            row_open.emplace_back(b0, gidx);
+            chosen = b0;
+            break;
+          }
+          b0++;
+        }
+        BatchBuf& B = bs[size_t(chosen)];
+        int32_t slot = B.fill[size_t(gidx)]++;
+        B.srcaddr[size_t(gidx) * K + slot] = s.src + 32768;
+        B.lenoff[size_t(gidx) * K + slot] =
+            int16_t(((s.dst & 127) << 8) | s.len);
+        for (int64_t x = s.dst; x < int64_t(s.dst) + s.len; x++)
+          last_w[size_t(x - seg_base)] = chosen;
+      }
+    }
+  };
+  {
+    unsigned hw = std::thread::hardware_concurrency();
+    unsigned T = std::min<unsigned>(
+        {hw ? hw : 4, 8, unsigned(n_segs ? n_segs : 1)});
+    if (int64_t(spans.size()) < 65536) T = 1;
+    if (T <= 1) {
+      sched_worker();
+    } else {
+      std::vector<std::thread> ths;
+      for (unsigned ti = 0; ti < T; ti++) ths.emplace_back(sched_worker);
+      for (auto& th : ths) th.join();
+    }
+  }
+
+  // serial emission, segment order
+  int64_t n_spans = int64_t(spans.size());
+  int64_t nb = 0;
+  for (int64_t sg = 0; sg < n_segs; sg++) {
+    for (const BatchBuf& B : seg_bs[size_t(sg)]) {
+      if (nb >= batch_cap || (nb + 1) * G > group_cap ||
+          (nb + 1) * G * K > slot_cap) {
+        plan->err = ERR_TAPE_OVERFLOW;
+        return ERR_TAPE_OVERFLOW;
+      }
       int64_t ng = int64_t(B.rows.size());
       if (ng)
         std::memcpy(g_row + nb * G, B.rows.data(), size_t(ng) * 4);
@@ -2113,86 +2271,22 @@ extern "C" int32_t tbz_plan_spans_flat(
                   size_t(G - ng) * size_t(K) * 4);
       std::memset(sp_lenoff + (nb * G + ng) * K, 0,
                   size_t(G - ng) * size_t(K) * 2);
-      b_segrow[nb] = int32_t(256 + cur_seg * seg_rows);
+      b_segrow[nb] = int32_t(256 + sg * seg_rows);
       nb++;
     }
-    bs.clear();
-    return OK;
-  };
-
-  for (const FSpan& s : spans) {
-    int64_t seg = s.dst / seg_bytes;   // dst rows never straddle (128B chop)
-    if (seg != cur_seg) {
-      seal_segment();
-      cur_seg = seg;
-      row_open.clear();
-      cur_row = -1;
-    }
-    int32_t drow = s.dst >> 7;
-    if (drow != cur_row) {
-      cur_row = drow;
-      row_open.clear();
-    }
-    int32_t b0 = 0;
-    {
-      // same-segment writers only: earlier segments are fully resolved
-      // (and the window/litbuf prefill) before this segment's batches
-      int64_t seg_base = cur_seg * seg_bytes;
-      int64_t a = s.src < seg_base ? seg_base : int64_t(s.src);
-      int64_t e = int64_t(s.src) + s.len;
-      for (int64_t x = a; x < e; x++) {
-        int32_t w = last_w[size_t(x)];
-        if (w >= b0) b0 = w + 1;
-      }
-    }
-    int32_t chosen = -1, gidx = -1;
-    for (;;) {
-      if (b0 >= int32_t(bs.size())) {
-        if (nb + int64_t(bs.size()) >= batch_cap ||
-            (nb + int64_t(bs.size()) + 1) * G > group_cap ||
-            (nb + int64_t(bs.size()) + 1) * G * K > slot_cap) {
-          plan->err = ERR_TAPE_OVERFLOW;
-          return ERR_TAPE_OVERFLOW;
-        }
-        bs.emplace_back();
-      }
-      BatchBuf& B = bs[size_t(b0)];
-      gidx = -1;
-      for (auto& pr : row_open)
-        if (pr.first == b0 && B.fill[size_t(pr.second)] < K) {
-          gidx = pr.second;
-          break;
-        }
-      if (gidx >= 0) {
-        chosen = b0;
-        break;
-      }
-      if (int64_t(B.rows.size()) < G) {
-        gidx = int32_t(B.rows.size());
-        B.rows.push_back(int32_t(drow - cur_seg * seg_rows));
-        B.srcaddr.resize(B.srcaddr.size() + size_t(K), 0);
-        B.lenoff.resize(B.lenoff.size() + size_t(K), 0);
-        B.fill.push_back(0);
-        row_open.emplace_back(b0, gidx);
-        chosen = b0;
-        break;
-      }
-      b0++;
-    }
-    BatchBuf& B = bs[size_t(chosen)];
-    int32_t slot = B.fill[size_t(gidx)]++;
-    B.srcaddr[size_t(gidx) * K + slot] = s.src + 32768;
-    B.lenoff[size_t(gidx) * K + slot] =
-        int16_t(((s.dst & 127) << 8) | s.len);
-    for (int64_t x = s.dst; x < int64_t(s.dst) + s.len; x++)
-      last_w[size_t(x)] = chosen;
-    n_spans++;
   }
-  seal_segment();
 
   plan->n_batches = nb;
   plan->n_spans = n_spans;
   plan->err = OK;
+  if (plan_timing()) {
+    double tp4 = now_ms();
+    std::fprintf(stderr,
+                 "[plan_flat] expand=%.1fms redirect=%.1fms chop=%.1fms "
+                 "schedule=%.1fms total=%.1fms spans=%lld batches=%lld\n",
+                 tp1 - tp0, tp2 - tp1, tp3 - tp2, tp4 - tp3, tp4 - tp0,
+                 (long long)n_spans, (long long)nb);
+  }
   return OK;
 }
 

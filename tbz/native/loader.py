@@ -160,7 +160,7 @@ def _build() -> str | None:
         return _SO
     # Plain -O3: -march=native/-funroll-loops measured SLOWER on the
     # virtualized Xeon (worse branch behavior in the decode loop).
-    cmd = ["g++", "-O3", "-shared",
+    cmd = ["g++", "-O3", "-shared", "-pthread",
            "-fPIC", "-std=c++17", "-o", _SO + ".tmp", _SRC]
     try:
         subprocess.run(cmd, check=True, capture_output=True, timeout=300)
@@ -485,8 +485,8 @@ def plan_spans_grid(tape, input_bytes, window_len: int = 0,
 
 
 def plan_spans_flat(tape, input_bytes, window_len: int = 0,
-                    G: int = 2048, K: int = 2,
-                    seg_rows: int = 8192) -> FlatPlan:
+                    G: int = 4096, K: int = 4,
+                    seg_rows: int = 16384) -> FlatPlan:
     """Plan the FLAT device resolve (frontend.cc tbz_plan_spans_flat):
     literals host-prefilled into out0, match spans chopped to single
     src/dst 128B rows and list-scheduled into (G x K) batches that are

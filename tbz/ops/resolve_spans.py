@@ -313,6 +313,95 @@ def resolve_grid_bytes(tape, input_bytes, window: bytes = b"",
 # scatter-add — ~10 ops on larger batches (G=2048 x K=2 default).
 
 
+def _barrel_contrib(frame, a, o, ln, G, K, lane128):
+    """Shared slot pipeline: rotate each (B, 32)-u32 128-byte frame left
+    by (a-o)&127, mask to [o, o+ln), reduce the K slots of each group.
+    Valid because the planner never lets a span straddle its source row
+    (a+len <= 128), so the rotate's wrap never lands inside the mask.
+    5 word stages + 2 byte-in-word stages; the round-3a shift
+    formulation needed 8 stages on 64 lanes (2.3x the vector traffic)."""
+    B = frame.shape[0]
+    t = (a - o) & 127
+    q = t >> 2
+    r = t & 3
+    x = frame
+    for k in range(5):
+        sh = 1 << k
+        rolled = jnp.concatenate([x[:, sh:], x[:, :sh]], axis=1)
+        bit = ((q >> k) & 1).astype(bool)[:, None]
+        x = jnp.where(bit, rolled, x)
+    for k in range(2):
+        sb = 8 << k
+        nxt = jnp.concatenate([x[:, 1:], x[:, :1]], axis=1)
+        shifted = (jax.lax.shift_right_logical(x, jnp.uint32(sb))
+                   | (nxt << jnp.uint32(32 - sb)))
+        bit = ((r >> k) & 1).astype(bool)[:, None]
+        x = jnp.where(bit, shifted, x)
+    mask8 = jnp.where((lane128 >= o[:, None])
+                      & (lane128 < (o + ln)[:, None]),
+                      jnp.uint8(0xFF), jnp.uint8(0))
+    mask = jax.lax.bitcast_convert_type(
+        mask8.reshape(B, 32, 4), jnp.uint32)
+    x = x & mask
+    return x.reshape(G, K, 32).sum(axis=1, dtype=jnp.uint32)  # (G, 32)
+
+
+@functools.partial(jax.jit, static_argnames=("n_rows_out", "seg_rows"))
+def _resolve_flat_scan_impl(srcaddr, lenoff, g_rows, b_segrow, out0,
+                            window_rows, n_rows_out: int, seg_rows: int):
+    """Scan-over-batches variant: per batch, gather frames from the full
+    table, scatter-add the group contributions into a seg_rows dynamic
+    slice at the batch's segment row (batches are segment-pure). The
+    round-3 A/B baseline for _resolve_flat_impl."""
+    NB, G, K = srcaddr.shape
+    B = G * K
+    table0 = jnp.concatenate([window_rows, out0], axis=0)
+    lane128 = jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1)
+
+    def step(table, xs):
+        sa, lo_, gr, segrow = xs
+        sa = sa.reshape(B)
+        lo_f = lo_.reshape(B).astype(jnp.int32)
+        u = sa >> 7
+        a = sa & 127
+        o = jax.lax.shift_right_logical(lo_f, 8) & 127
+        ln = lo_f & 255
+        contrib = _barrel_contrib(table[u], a, o, ln, G, K, lane128)
+        seg = jax.lax.dynamic_slice(table, (segrow, 0), (seg_rows, 32))
+        seg = seg.at[gr].add(contrib)
+        return jax.lax.dynamic_update_slice(table, seg, (segrow, 0)), None
+
+    table, _ = jax.lax.scan(step, table0,
+                            (srcaddr, lenoff, g_rows, b_segrow))
+    return table[W_ROWS:]
+
+
+@functools.partial(jax.jit, static_argnames=("n_rows_out",))
+def _resolve_flat_gscat_impl(srcaddr, lenoff, g_rows_g, out0,
+                             window_rows, n_rows_out: int):
+    """Scan-over-batches with DIRECT global scatter (no slice/update):
+    g_rows_g are absolute table rows. A/B variant — big-table scatter
+    measured ~18M rows/s, but it avoids the slice/update copies."""
+    NB, G, K = srcaddr.shape
+    B = G * K
+    table0 = jnp.concatenate([window_rows, out0], axis=0)
+    lane128 = jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1)
+
+    def step(table, xs):
+        sa, lo_, gr = xs
+        sa = sa.reshape(B)
+        lo_f = lo_.reshape(B).astype(jnp.int32)
+        u = sa >> 7
+        a = sa & 127
+        o = jax.lax.shift_right_logical(lo_f, 8) & 127
+        ln = lo_f & 255
+        contrib = _barrel_contrib(table[u], a, o, ln, G, K, lane128)
+        return table.at[gr].add(contrib), None
+
+    table, _ = jax.lax.scan(step, table0, (srcaddr, lenoff, g_rows_g))
+    return table[W_ROWS:]
+
+
 @functools.partial(jax.jit, static_argnames=("n_rows_out", "seg_rows"))
 def _resolve_flat_impl(srcaddr, lenoff, g_rows, seg_lo, seg_hi, seg_base,
                        out0, window_rows, n_rows_out: int, seg_rows: int):
@@ -362,41 +451,7 @@ def _resolve_flat_impl(srcaddr, lenoff, g_rows, seg_lo, seg_hi, seg_base,
             facc = acc[jnp.clip(rel, 0, seg_rows - 1)]
             frame = frame + jnp.where(in_seg[:, None], facc,
                                       jnp.uint32(0))
-
-            # barrel: ROTATE flat bytes left by t = (a-o) & 127 within
-            # the 128B row, so al[o+i] = frame[(o+i+t) & 127] =
-            # frame[a+i] — valid because the planner never lets a span
-            # straddle its src row (a+len <= 128), so the wrap never
-            # lands inside the masked span. 5 word stages + 2
-            # byte-in-word stages on 32 uint32 lanes; the round-3a
-            # shift formulation needed 8 stages on 64 lanes.
-            t = (a - o) & 127
-            q = t >> 2
-            r = t & 3
-            x = frame
-            for k in range(5):
-                sh = 1 << k
-                rolled = jnp.concatenate([x[:, sh:], x[:, :sh]], axis=1)
-                bit = ((q >> k) & 1).astype(bool)[:, None]
-                x = jnp.where(bit, rolled, x)
-            for k in range(2):
-                sb = 8 << k
-                nxt = jnp.concatenate([x[:, 1:], x[:, :1]], axis=1)
-                shifted = (jax.lax.shift_right_logical(x, jnp.uint32(sb))
-                           | (nxt << jnp.uint32(32 - sb)))
-                bit = ((r >> k) & 1).astype(bool)[:, None]
-                x = jnp.where(bit, shifted, x)
-            al = x                                      # (B, 32)
-
-            mask8 = jnp.where((lane128 >= o[:, None])
-                              & (lane128 < (o + ln)[:, None]),
-                              jnp.uint8(0xFF), jnp.uint8(0))
-            mask = jax.lax.bitcast_convert_type(
-                mask8.reshape(B, 32, 4), jnp.uint32)
-            al = al & mask
-
-            contrib = (al.reshape(G, K, 32)
-                       .sum(axis=1, dtype=jnp.uint32))  # (G, 32)
+            contrib = _barrel_contrib(frame, a, o, ln, G, K, lane128)
             return acc.at[gr].add(contrib)
 
         acc0 = jnp.zeros((seg_rows, 32), jnp.uint32)
@@ -463,7 +518,7 @@ def stage_flat_plan(plan, window: bytes = b""):
 
 
 def resolve_flat_device(tape, input_bytes, window: bytes = b"",
-                        G: int = 2048, K: int = 2, seg_rows: int = 8192):
+                        G: int = 4096, K: int = 4, seg_rows: int = 16384):
     """Plan on host (C++ flat planner), resolve on device. Returns
     (device uint32 word rows, total_out)."""
     from ..native import loader
@@ -477,8 +532,8 @@ def resolve_flat_device(tape, input_bytes, window: bytes = b"",
 
 
 def resolve_flat_bytes(tape, input_bytes, window: bytes = b"",
-                       G: int = 2048, K: int = 2,
-                       seg_rows: int = 8192) -> bytes:
+                       G: int = 4096, K: int = 4,
+                       seg_rows: int = 16384) -> bytes:
     """Convenience: flat-resolve and fetch to host bytes."""
     rows, total = resolve_flat_device(tape, input_bytes, window, G=G, K=K,
                                       seg_rows=seg_rows)

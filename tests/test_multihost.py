@@ -73,6 +73,7 @@ def gput(x):
     sh = NamedSharding(mesh, spec)
     return jax.make_array_from_callback(x.shape, sh, lambda idx: x[idx])
 
+# _resolve_batch returns body rows only (window prefix stripped in-jit)
 out = shard._resolve_batch(gput(out_len), gput(dist), gput(root_val),
                            gput(n_tokens), gput(total_out), gput(inputs),
                            gput(windows), cap)
@@ -82,7 +83,7 @@ for js in out.addressable_shards:
     local = np.asarray(js.data)
     for k in range(local.shape[0]):
         si = si0 + k
-        got = local[k, R.W:R.W + total_out[si]].tobytes()
+        got = local[k, :total_out[si]].tobytes()
         assert got == streams[si], f"stream {si} mismatch on pid {pid}"
 print(f"MULTIHOST-OK pid={pid}", flush=True)
 """
