@@ -45,6 +45,21 @@ MAX_ENTRY_DRIFT = 48  # a symbol spans < 48 bits; true chunk entry is
 
 
 @functools.partial(jax.jit, static_argnames=("L", "max_syms"))
+def _lanes_fused(data32, lit_pad, dist_pad, lit_c, dist_c, lane_starts,
+                 lane_ends, total_bits, L: int, max_syms: int):
+    """Table build + lane decode in ONE device call: per-block tables
+    are tiny, but a separate table-build call costs a full tunnel round
+    trip for its error fetch — here the two table error codes ride at
+    the END of the single flat result (e2e: 2 round trips per DEFLATE
+    block down to 1)."""
+    lit_tab, err = build_flat_table(lit_pad, lit_c, 288, True)
+    dist_tab, err2 = build_flat_table(dist_pad, dist_c, 32, True)
+    flat = _lanes_decode(data32, lit_tab, dist_tab, lane_starts,
+                         lane_ends, total_bits, L, max_syms)
+    return jnp.concatenate([flat, jnp.stack([err, err2])])
+
+
+@functools.partial(jax.jit, static_argnames=("L", "max_syms"))
 def _lanes_decode(data32, lit_tab, dist_tab, lane_starts, lane_ends,
                   total_bits, L: int, max_syms: int):
     """Decode up to max_syms symbols per lane, each lane stopping once
@@ -141,13 +156,13 @@ def _lanes_decode_unpack(flat: np.ndarray, L: int, max_syms: int):
     return starts, out_len, dist, rv, n, ok, exits
 
 
-@jax.jit
-def _build_tables_pair(lit_pad, dist_pad, lit_c, dist_c):
-    """Both flat decode tables + their error codes in ONE device call
-    (separate err fetches cost a tunnel round trip each)."""
-    lit_tab, err = build_flat_table(lit_pad, lit_c, 288, True)
-    dist_tab, err2 = build_flat_table(dist_pad, dist_c, 32, True)
-    return lit_tab, dist_tab, jnp.stack([err, err2])
+def stage_stream_device(data: bytes):
+    """Upload a payload once for all of its blocks' lane decodes (the
+    per-block re-upload was most of the stream's H2D traffic)."""
+    pad = -(-len(data) // 4) * 4 + 8
+    buf = np.zeros(pad, np.uint8)
+    buf[:len(data)] = np.frombuffer(data, np.uint8)
+    return jnp.asarray(buf.view("<u4"))
 
 
 def tokenize_block_speculative(data: bytes, start_bit: int,
@@ -155,14 +170,16 @@ def tokenize_block_speculative(data: bytes, start_bit: int,
                                dist_lens: np.ndarray,
                                chunk_bits: int = 2048,
                                produced_before: int = 0,
-                               window_len: int = 0):
+                               window_len: int = 0,
+                               data32=None):
     """Speculatively decode one block's symbol stream (tables known,
     from `start_bit` up to its end-of-block).
 
     Returns (TokenTape, end_bit, stats) where stats reports lane
     synchronization. Falls back to sequential decode for any unsynced
     span, so the result is always exact (verified vs the oracle in
-    tests).
+    tests). data32: device payload from stage_stream_device (uploaded
+    here when absent).
     """
     from .. import huffman
     lit_lens = np.asarray(lit_lens, np.int64)
@@ -175,20 +192,10 @@ def tokenize_block_speculative(data: bytes, start_bit: int,
     dist_pad = np.zeros(32, np.int64)
     dist_pad[:len(dist_lens)] = dist_lens
     lit_c, dist_c, _ = (jnp.asarray(x) for x in _entry_consts())
-    lit_tab, dist_tab, errs = _build_tables_pair(
-        jnp.asarray(lit_pad), jnp.asarray(dist_pad), lit_c, dist_c)
-    errs = np.asarray(errs)
-    if int(errs[0]) != 0 or int(errs[1]) != 0:
-        # host build_decode_table_checked validated the same code set
-        # above, so a device table error means frontend disagreement —
-        # raise (never assert: reachable from corrupt input under -O)
-        E.raise_for_code(int(errs[0]) or int(errs[1]))
 
     nbits = len(data) * 8
-    pad = -(-len(data) // 4) * 4 + 8
-    buf = np.zeros(pad, np.uint8)
-    buf[:len(data)] = np.frombuffer(data, np.uint8)
-    data32 = jnp.asarray(buf.view("<u4"))
+    if data32 is None:
+        data32 = stage_stream_device(data)
 
     span = nbits - start_bit
     L = max(1, min(256, span // chunk_bits))
@@ -203,11 +210,19 @@ def tokenize_block_speculative(data: bytes, start_bit: int,
         np.int32)
     lane_ends = np.minimum(lane_starts + chunk_bits, nbits).astype(np.int32)
 
-    flat = np.asarray(_lanes_decode(
-        data32, lit_tab, dist_tab, jnp.asarray(lane_starts),
-        jnp.asarray(lane_ends), np.int32(nbits), L, max_syms))
+    # ONE device call + ONE fetch per block: fused table build + lanes
+    flat = np.asarray(_lanes_fused(
+        data32, jnp.asarray(lit_pad), jnp.asarray(dist_pad), lit_c,
+        dist_c, jnp.asarray(lane_starts), jnp.asarray(lane_ends),
+        np.int32(nbits), L, max_syms))
+    errs = flat[-2:]
+    if int(errs[0]) != 0 or int(errs[1]) != 0:
+        # host build_decode_table_checked validated the same code set
+        # above, so a device table error means frontend disagreement —
+        # raise (never assert: reachable from corrupt input under -O)
+        E.raise_for_code(int(errs[0]) or int(errs[1]))
     starts, out_len, dist, rv, n_syms, ok, exits = _lanes_decode_unpack(
-        flat, L, max_syms)
+        flat[:-2], L, max_syms)
 
     # Sequential decoder shares lit2/dist2 (fallback + EOB finisher).
     from ..bitreader import BitReader
@@ -402,6 +417,7 @@ def tokenize_stream_speculative(data: bytes, window_len: int = 0,
     parts: list = []
     produced = 0
     all_stats: list = []
+    data32 = None  # uploaded on first compressed block, reused after
     while True:
         bfinal = bool(br.bits(1))
         btype = br.bits(2)
@@ -429,10 +445,12 @@ def tokenize_stream_speculative(data: bytes, window_len: int = 0,
                 lens, hlit, hdist = R._read_dynamic_lens(br)
                 lit_lens = lens[:hlit]
                 dist_lens = lens[hlit:]
+            if data32 is None:
+                data32 = stage_stream_device(data)
             tape, end_bit, stats = tokenize_block_speculative(
                 data, br.bit_position(), lit_lens, dist_lens,
                 chunk_bits=chunk_bits, produced_before=0,
-                window_len=produced + window_len)
+                window_len=produced + window_len, data32=data32)
             all_stats.append(stats)
             if len(tape):
                 parts.append((tape.out_len, tape.dist, tape.root_val))
