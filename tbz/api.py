@@ -123,9 +123,16 @@ def _decode_body(body: bytes, window: bytes, backend: str,
 
 
 def _verify_device_or_host(kind: str, body_dev, out: bytes, prev: int):
-    """Checksum via device tail kernels when output is on device."""
+    """Checksum for one-shot decompress. The one-shot path has ALWAYS
+    already fetched `out` to the host, so host zlib (GB/s, no device
+    round trip) is strictly faster than the device tail kernels here —
+    a device checksum fetch costs a full tunnel round trip on top of
+    the output fetch. The device kernels remain the verification path
+    where output stays device-resident (parallel/shard.py,
+    checksums tests); Config.device_checksums=1 forces them here for
+    pipeline testing through the public API."""
     with _stage(f"verify.{kind}", len(out)):
-        if body_dev is not None:
+        if body_dev is not None and get_config().device_checksums:
             from . import checksums as cs
             if kind == "crc32":
                 return int(cs.crc32_device_tail(body_dev, len(out), prev))

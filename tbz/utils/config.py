@@ -25,6 +25,10 @@ class Config:
     # Checksum kernel tuning.
     crc_lane_bytes: int = 128
     adler_chunk: int = 4096
+    # One-shot decompress verifies on host by default (output is
+    # already fetched; a device checksum adds a round trip). Set 1 /
+    # TBZ_DEVICE_CHECKSUMS=1 to force the device tail kernels there.
+    device_checksums: bool = False
 
     # Encoder.
     level: int = 6

@@ -142,7 +142,8 @@ def test_full_device_pipeline_speculative_plus_spans():
     old = cfgmod.get_config()
     try:
         cfgmod.set_config(cfgmod.Config(backend="device",
-                                        frontend="device"))
+                                        frontend="device",
+                                        device_checksums=True))
         assert api.decompress(payload, "zlib") == data
     finally:
         cfgmod.set_config(old)
