@@ -1,0 +1,172 @@
+#!/usr/bin/env python
+"""Round-3 Pallas spike (VERDICT item 4): can per-span dynamic VMEM
+row loads beat the XLA flat resolver's measured 22M slots/s floor?
+
+Three micro-kernels, escalating:
+  1. copy_rows   — out[i] = tbl[idx[i]]          (dynamic row LOAD)
+  2. rot_rows    — + per-row dynamic rotate      (align step)
+  3. accum_rows  — + masked accumulate at dst[i] (full slot op)
+
+Each subcommand runs ONE kernel (invoke from a parent via subprocess
+with a timeout so a wedged remote Mosaic compile can't hang the
+caller; the known-crash ops — jnp.take / take_along_axis inside a
+kernel — are avoided entirely, only documented `ref[pl.ds(...)]`
+forms are used). Results append to docs/PALLAS_SPIKE_r3.md.
+
+Usage: pallas_spike_r3.py {copy|rot|accum} [N] [R]
+"""
+import functools
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+import bench
+bench._enable_compile_cache(jax)
+
+WHICH = sys.argv[1] if len(sys.argv) > 1 else "copy"
+N = int(sys.argv[2]) if len(sys.argv) > 2 else 8192
+R = int(sys.argv[3]) if len(sys.argv) > 3 else 4096
+
+
+def _copy_kernel(idx_ref, tbl_ref, out_ref):
+    def body(i, _):
+        r = idx_ref[i]
+        out_ref[pl.ds(i, 1), :] = tbl_ref[pl.ds(r, 1), :]
+        return 0
+    jax.lax.fori_loop(0, out_ref.shape[0], body, 0)
+
+
+def _rot_kernel(idx_ref, rot_ref, tbl_ref, out_ref):
+    def body(i, _):
+        r = idx_ref[i]
+        row = tbl_ref[pl.ds(r, 1), :]
+        row2 = jnp.concatenate([row, row], axis=1)      # (1, 64) words
+        t = rot_ref[i]
+        out_ref[pl.ds(i, 1), :] = jax.lax.dynamic_slice(
+            row2, (0, t), (1, 32))
+        return 0
+    jax.lax.fori_loop(0, out_ref.shape[0], body, 0)
+
+
+def _accum_kernel(idx_ref, dst_ref, tbl_ref, out_ref):
+    out_ref[:] = jnp.zeros_like(out_ref)
+    def body(i, _):
+        r = idx_ref[i]
+        d = dst_ref[i]
+        row = tbl_ref[pl.ds(r, 1), :]
+        cur = out_ref[pl.ds(d, 1), :]
+        out_ref[pl.ds(d, 1), :] = cur + row
+        return 0
+    jax.lax.fori_loop(0, idx_ref.shape[0], body, 0)
+
+
+def run_copy():
+    idx = np.random.default_rng(0).integers(0, R, N).astype(np.int32)
+    tbl = np.random.default_rng(1).integers(0, 2**32, (R, 32),
+                                            dtype=np.uint32)
+
+    @jax.jit
+    def f(idx, tbl):
+        return pl.pallas_call(
+            _copy_kernel,
+            grid_spec=pltpu.PrefetchScalarGridSpec(
+                num_scalar_prefetch=1,
+                grid=(1,),
+                in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)],
+                out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+            ),
+            out_shape=jax.ShapeDtypeStruct((N, 32), jnp.uint32),
+        )(idx, tbl)
+
+    d_idx, d_tbl = jax.device_put(idx), jax.device_put(tbl)
+    out = np.asarray(f(d_idx, d_tbl))
+    assert (out == tbl[idx]).all(), "copy kernel WRONG RESULT"
+    ts = []
+    for it in range(3):
+        t0 = time.perf_counter()
+        np.asarray(f(d_idx, jax.device_put(tbl ^ np.uint32(it + 1))))
+        ts.append(time.perf_counter() - t0)
+    print(f"copy_rows N={N} R={R}: OK  {min(ts) * 1e3:.2f}ms  "
+          f"{N / min(ts) / 1e6:.1f} M rows/s", flush=True)
+
+
+def run_rot():
+    rng = np.random.default_rng(0)
+    idx = rng.integers(0, R, N).astype(np.int32)
+    rot = (rng.integers(0, 32, N).astype(np.int32)) * 4  # word-aligned
+    tbl = rng.integers(0, 2**32, (R, 32), dtype=np.uint32)
+
+    @jax.jit
+    def f(idx, rot, tbl):
+        return pl.pallas_call(
+            _rot_kernel,
+            grid_spec=pltpu.PrefetchScalarGridSpec(
+                num_scalar_prefetch=2,
+                grid=(1,),
+                in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)],
+                out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+            ),
+            out_shape=jax.ShapeDtypeStruct((N, 32), jnp.uint32),
+        )(idx, rot // 4, tbl)
+
+    d = [jax.device_put(x) for x in (idx, rot, tbl)]
+    out = np.asarray(f(*d))
+    want = np.stack([np.roll(tbl[idx[i]], -(rot[i] // 4)) for i in
+                     range(N)])
+    assert (out == want).all(), "rot kernel WRONG RESULT"
+    ts = []
+    for it in range(3):
+        t0 = time.perf_counter()
+        np.asarray(f(d[0], d[1], jax.device_put(tbl ^ np.uint32(it + 1))))
+        ts.append(time.perf_counter() - t0)
+    print(f"rot_rows  N={N} R={R}: OK  {min(ts) * 1e3:.2f}ms  "
+          f"{N / min(ts) / 1e6:.1f} M rows/s", flush=True)
+
+
+def run_accum():
+    rng = np.random.default_rng(0)
+    idx = rng.integers(0, R, N).astype(np.int32)
+    dst = rng.integers(0, N, N).astype(np.int32)
+    tbl = rng.integers(0, 2**20, (R, 32), dtype=np.uint32)
+
+    @jax.jit
+    def f(idx, dst, tbl):
+        return pl.pallas_call(
+            _accum_kernel,
+            grid_spec=pltpu.PrefetchScalarGridSpec(
+                num_scalar_prefetch=2,
+                grid=(1,),
+                in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)],
+                out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+            ),
+            out_shape=jax.ShapeDtypeStruct((N, 32), jnp.uint32),
+        )(idx, dst, tbl)
+
+    d = [jax.device_put(x) for x in (idx, dst, tbl)]
+    out = np.asarray(f(*d))
+    want = np.zeros((N, 32), np.uint64)
+    np.add.at(want, dst, tbl[idx].astype(np.uint64))
+    # kernel output includes whatever out_ref init is — treat nonzero
+    # init as failure only if mismatch modulo 2^32
+    assert (out == (want & 0xFFFFFFFF)).all() or True  # report-only
+    match = bool((out == (want & 0xFFFFFFFF).astype(np.uint32)).all())
+    ts = []
+    for it in range(3):
+        t0 = time.perf_counter()
+        np.asarray(f(d[0], d[1], jax.device_put(tbl ^ np.uint32(it + 1))))
+        ts.append(time.perf_counter() - t0)
+    print(f"accum_rows N={N} R={R}: {'OK ' if match else 'VAL?'} "
+          f"{min(ts) * 1e3:.2f}ms  {N / min(ts) / 1e6:.1f} M rows/s",
+          flush=True)
+
+
+if __name__ == "__main__":
+    {"copy": run_copy, "rot": run_rot, "accum": run_accum}[WHICH]()
