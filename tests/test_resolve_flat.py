@@ -144,3 +144,34 @@ def test_flat_planner_invariants():
     # literal bytes already present in out0 at non-span positions
     out0 = plan.out0[:plan.total_out]
     assert len(out0) == len(data)
+
+
+def test_flat_kernel_variants_agree():
+    """The scan+slice-scatter and scan+global-scatter A/B variants
+    (kept for on-chip comparison) must stay byte-identical to the
+    production nested kernel."""
+    import jax
+    import jax.numpy as jnp
+    from tbz.ops import resolve_spans as rs
+    data = corpus(33, 3 << 17)
+    payload = zlib.compress(data, 6)[2:-4]
+    res = reference.tokenize_host(payload, 0)
+    plan = loader.plan_spans_flat(res.tape, payload, G=1024, K=2,
+                                  seg_rows=2048)
+    np_args, n_rows = rs.stage_flat_plan(plan)
+    args = [jnp.asarray(a) for a in np_args]
+    NB_pad = np_args[0].shape[0]
+    b_segrow = np.full(NB_pad, rs.W_ROWS, np.int32)
+    b_segrow[:plan.n_batches] = plan.b_segrow
+    g_glob = jnp.asarray((np_args[2] + b_segrow[:, None]).astype(np.int32))
+    nested = rs._resolve_flat_impl(*args, n_rows, plan.seg_rows)
+    scan = rs._resolve_flat_scan_impl(
+        args[0], args[1], args[2], jnp.asarray(b_segrow), args[6],
+        args[7], n_rows, plan.seg_rows)
+    gscat = rs._resolve_flat_gscat_impl(
+        args[0], args[1], g_glob, args[6], args[7], n_rows)
+    body = bytes(np.asarray(jax.lax.bitcast_convert_type(
+        nested, jnp.uint8)).reshape(-1)[:plan.total_out])
+    assert body == data
+    assert (np.asarray(scan) == np.asarray(nested)).all()
+    assert (np.asarray(gscat) == np.asarray(nested)).all()
