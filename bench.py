@@ -223,14 +223,23 @@ def bench_device_e2e(payload: bytes, data: bytes, timeout_s: float = 600.0):
         import jax
         _enable_compile_cache(jax)
         from tbz import api
-        out = api.decompress(payload, format="raw", backend="device")
-        assert out == data, "device e2e mismatch!"
-        ts = []
-        for _ in range(2):
-            t0 = time.perf_counter()
-            out = api.decompress(payload, format="raw", backend="device")
-            ts.append(time.perf_counter() - t0)
-        return min(ts)
+        from tbz.utils import config as cfgmod
+        old = cfgmod.get_config()
+        try:
+            # full device pipeline: speculative lane tokenizer (>=64KB)
+            # + flat span resolver, through the public API
+            cfgmod.set_config(cfgmod.Config(backend="device",
+                                            frontend="device"))
+            out = api.decompress(payload, format="raw")
+            assert out == data, "device e2e mismatch!"
+            ts = []
+            for _ in range(2):
+                t0 = time.perf_counter()
+                out = api.decompress(payload, format="raw")
+                ts.append(time.perf_counter() - t0)
+            return min(ts)
+        finally:
+            cfgmod.set_config(old)
 
     ex = concurrent.futures.ThreadPoolExecutor(1)
     try:
