@@ -171,7 +171,7 @@ def tokenize_block_speculative(data: bytes, start_bit: int,
                                chunk_bits: int = 2048,
                                produced_before: int = 0,
                                window_len: int = 0,
-                               data32=None):
+                               data32=None, span_hint: int = 0):
     """Speculatively decode one block's symbol stream (tables known,
     from `start_bit` up to its end-of-block).
 
@@ -198,13 +198,22 @@ def tokenize_block_speculative(data: bytes, start_bit: int,
         data32 = stage_stream_device(data)
 
     span = nbits - start_bit
+    if span_hint:
+        # lanes past the block's EOB decode other blocks' bits with the
+        # wrong tables — pure waste in kernel time AND fetch bytes, so
+        # cap coverage near the (EWMA-estimated) block length; the tail
+        # past the cap falls to the next call's sequential entry only
+        # if the estimate was short, which the stitcher handles anyway
+        span = min(span, max(span_hint, 4 * chunk_bits))
     L = max(1, min(256, span // chunk_bits))
     L = 1 << (L - 1).bit_length()  # pow2: one compile per shape class
     # Symbols are >= ~3 bits in real codes; a lane that exceeds the cap
     # (degenerate 1-2 bit codes) is simply marked unusable and its chunk
     # falls back to the sequential stitcher — exactness is unaffected.
-    # Keeping the cap tight matters: the lane arrays are the D2H payload.
-    max_syms = max(256, chunk_bits // 4)
+    # Keeping the cap tight matters: the lane arrays are the D2H payload
+    # (~6 bits/sym is the realistic floor; 16/3 keeps headroom while
+    # cutting the padded fetch 25% vs chunk_bits/4).
+    max_syms = max(256, chunk_bits * 3 // 16)
     lane_starts = np.array(
         [min(start_bit + l * chunk_bits, nbits) for l in range(L)],
         np.int32)
@@ -418,6 +427,7 @@ def tokenize_stream_speculative(data: bytes, window_len: int = 0,
     produced = 0
     all_stats: list = []
     data32 = None  # uploaded on first compressed block, reused after
+    block_bits_ewma = 0  # running block-length estimate (lane coverage)
     while True:
         bfinal = bool(br.bits(1))
         btype = br.bits(2)
@@ -447,10 +457,14 @@ def tokenize_stream_speculative(data: bytes, window_len: int = 0,
                 dist_lens = lens[hlit:]
             if data32 is None:
                 data32 = stage_stream_device(data)
+            b0 = br.bit_position()
             tape, end_bit, stats = tokenize_block_speculative(
-                data, br.bit_position(), lit_lens, dist_lens,
+                data, b0, lit_lens, dist_lens,
                 chunk_bits=chunk_bits, produced_before=0,
-                window_len=produced + window_len, data32=data32)
+                window_len=produced + window_len, data32=data32,
+                span_hint=int(block_bits_ewma * 3) // 2)
+            block_bits_ewma = (end_bit - b0 if block_bits_ewma == 0 else
+                               (block_bits_ewma + (end_bit - b0)) // 2)
             all_stats.append(stats)
             if len(tape):
                 parts.append((tape.out_len, tape.dist, tape.root_val))
