@@ -156,3 +156,26 @@ def test_config_env_level(monkeypatch):
     monkeypatch.setenv("TBZ_MESH_SP", "2")
     c = Config.from_env()
     assert c.level == 1 and c.mesh_sp == 2
+
+
+def test_cli_roundtrip(tmp_path):
+    """python -m tbz compress/decompress round trip (gzip framing)."""
+    import subprocess
+    import sys as _sys
+    import os as _os
+    data = corpus(21, 150000)
+    src = tmp_path / "payload.bin"
+    src.write_bytes(data)
+    repo = _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__)))
+    env = dict(_os.environ)
+    r = subprocess.run([_sys.executable, "-m", "tbz", "-c",
+                        str(src)], capture_output=True, cwd=repo, env=env)
+    assert r.returncode == 0, r.stderr[-500:]
+    import gzip as _g
+    assert _g.decompress(r.stdout) == data
+    gz = tmp_path / "payload.bin.gz"
+    gz.write_bytes(r.stdout)
+    r2 = subprocess.run([_sys.executable, "-m", "tbz", "-d", "-c",
+                         str(gz)], capture_output=True, cwd=repo, env=env)
+    assert r2.returncode == 0, r2.stderr[-500:]
+    assert r2.stdout == data
