@@ -336,6 +336,16 @@ def main():
     log(f"[bench] libz single-thread same payload: {t_libz * 1000:.0f} ms "
         f"({size / t_libz / 1e9:.2f} GB/s)")
 
+    # Weak-scaling probe BEFORE any in-process jax/device work: the
+    # subprocess points share this host's cores, and a jax-initialized
+    # parent's runtime threads measurably skew the 4-device point
+    # (0.46 vs 0.645 measured).
+    scaling_eff, _curve = bench_scaling(min(size, 16 << 20) // 4)
+    if scaling_eff is not None:
+        log(f"[bench] weak-scaling efficiency (t_1dev / t_4dev, fixed "
+            f"per-device work): {scaling_eff:.2f}")
+
+
     if not args.host_only:
         # STAGED pre-flight (round-2 lesson: one 420s all-or-nothing
         # attempt timed out on a congested queue and dropped every device
@@ -422,11 +432,6 @@ def main():
     except Exception as e:  # noqa: BLE001
         log(f"[bench] parallel-encode probe failed "
             f"({type(e).__name__}: {e})")
-
-    scaling_eff, _curve = bench_scaling(min(size, 16 << 20) // 4)
-    if scaling_eff is not None:
-        log(f"[bench] weak-scaling efficiency (t_1dev / t_4dev, fixed "
-            f"per-device work): {scaling_eff:.2f}")
 
     result = {
         "metric": "sharded_inflate_GBps_single_host",
