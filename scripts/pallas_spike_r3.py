@@ -168,5 +168,44 @@ def run_accum():
           flush=True)
 
 
+def run_grid():
+    """Grid-based gather: one (1, 32) u32 block per grid step, the row
+    index supplied by a scalar-prefetch-driven BlockSpec index_map (the
+    canonical embedding-lookup pattern; DMAs pipeline across steps)."""
+    idx = np.random.default_rng(0).integers(0, R, N).astype(np.int32)
+    tbl = np.random.default_rng(1).integers(0, 2**32, (R, 32),
+                                            dtype=np.uint32)
+
+    def kern(idx_ref, row_ref, out_ref):
+        out_ref[...] = row_ref[...]
+
+    @jax.jit
+    def f(idx, tbl):
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(N,),
+            in_specs=[pl.BlockSpec((1, 32),
+                                   lambda i, idx_ref: (idx_ref[i], 0))],
+            out_specs=pl.BlockSpec((1, 32), lambda i, idx_ref: (i, 0)),
+        )
+        return pl.pallas_call(
+            kern,
+            grid_spec=grid_spec,
+            out_shape=jax.ShapeDtypeStruct((N, 32), jnp.uint32),
+        )(idx, tbl)
+
+    d_idx, d_tbl = jax.device_put(idx), jax.device_put(tbl)
+    out = np.asarray(f(d_idx, d_tbl))
+    assert (out == tbl[idx]).all(), "grid gather WRONG RESULT"
+    ts = []
+    for it in range(3):
+        t0 = time.perf_counter()
+        np.asarray(f(d_idx, jax.device_put(tbl ^ np.uint32(it + 1))))
+        ts.append(time.perf_counter() - t0)
+    print(f"grid_rows N={N} R={R}: OK  {min(ts) * 1e3:.2f}ms  "
+          f"{N / min(ts) / 1e6:.1f} M rows/s", flush=True)
+
+
 if __name__ == "__main__":
-    {"copy": run_copy, "rot": run_rot, "accum": run_accum}[WHICH]()
+    {"copy": run_copy, "rot": run_rot, "accum": run_accum,
+     "grid": run_grid}[WHICH]()
