@@ -66,8 +66,13 @@ inline uint32_t e_extra(uint32_t e) { return (e >> 7) & 0x1F; }
 inline uint32_t e_val(uint32_t e) { return e >> 16; }
 
 constexpr int kMaxBits = 15;
-constexpr int kLitRoot = 9, kDistRoot = 6, kClRoot = 7;
-constexpr int kEnoughLit = 852, kEnoughDist = 592, kEnoughCl = 128;
+// Root 10 for litlen: at L6-typical code lengths (8-10 bits) a 9-bit
+// root sends 20-40%% of lookups through the two-level LINK branch; 10
+// almost never. 2048 is a generous bound over the exact ENOUGH (1332
+// for 286 symbols, root 10; the classic 852 is the root-9 figure the
+// Python tables keep, constants.py).
+constexpr int kLitRoot = 10, kDistRoot = 6, kClRoot = 7;
+constexpr int kEnoughLit = 2048, kEnoughDist = 592, kEnoughCl = 128;
 constexpr int STORED_FLAG = 1 << 30;
 
 const uint16_t kLenBase[29] = {3, 4, 5, 6, 7, 8, 9, 10, 11, 13, 15, 17, 19,
@@ -140,7 +145,7 @@ int build_table(const uint8_t* lens, int n, int kind, int root,
     next_code[l] = code;
   }
   // first pass: short codes + discover subtable widths
-  int sub_width[1 << 9];  // indexed by root prefix; root <= 9
+  int sub_width[1 << 10];  // indexed by root prefix; root <= 10
   for (int i = 0; i < (1 << root); i++) sub_width[i] = 0;
   uint32_t codes_of[320];
   for (int sym = 0; sym < n; sym++) {
@@ -154,7 +159,7 @@ int build_table(const uint8_t* lens, int n, int kind, int root,
     }
   }
   // allocate subtables, emit link entries
-  int sub_base[1 << 9];
+  int sub_base[1 << 10];
   int off = 1 << root;
   for (int p = 0; p < (1 << root); p++) {
     if (!sub_width[p]) continue;
@@ -971,29 +976,35 @@ static int32_t inflate_core(const uint8_t* data, int64_t size,
           if (br.nbits < 48 || pos + 300 + 16 > cap) break;
         }
         if (e_op(e) == OP_LITERAL) continue;  // burst ended on bits/space
-        br.drop(e_nbits(e));
         uint32_t op = e_op(e);
-        if (op == OP_END) break;
+        if (op == OP_END) {
+          br.drop(e_nbits(e));
+          break;
+        }
         if (op == OP_INVALID) {
           err = ERR_INVALID_CODE;
           goto done;
         }
-        int len = e_val(e) + (uint32_t(br.buf) & ((1u << e_extra(e)) - 1));
-        br.drop(e_extra(e));
+        // combined code+extra consume (48-bit headroom guaranteed by
+        // the fast-region fill): extra bits sit right above the code
+        int len = e_val(e) +
+                  (uint32_t(br.buf >> e_nbits(e)) &
+                   ((1u << e_extra(e)) - 1));
+        br.drop(e_nbits(e) + e_extra(e));
         br.fill();
         uint32_t de = dist_t[uint32_t(br.buf) & ((1u << kDistRoot) - 1)];
         if (e_op(de) == OP_LINK)
           de = dist_t[e_val(de) +
                       ((uint32_t(br.buf) >> kDistRoot) &
                        ((1u << e_extra(de)) - 1))];
-        br.drop(e_nbits(de));
         if (e_op(de) != OP_MATCH) {
           err = ERR_INVALID_CODE;
           goto done;
         }
         int64_t d = e_val(de) +
-                    (uint32_t(br.buf) & ((1u << e_extra(de)) - 1));
-        br.drop(e_extra(de));
+                    (uint32_t(br.buf >> e_nbits(de)) &
+                     ((1u << e_extra(de)) - 1));
+        br.drop(e_nbits(de) + e_extra(de));
         int64_t src = pos - d;
         if (src < 0) {
           if (src < -window_len) {
@@ -1004,6 +1015,19 @@ static int32_t inflate_core(const uint8_t* data, int64_t size,
           while (src + k < 0 && k < len)
             out[pos + k] = window[window_len + src + k], k++;
           for (; k < len; k++) out[pos + k] = out[src + k];
+          pos += len;
+        } else if (d >= 16) {
+          // 16B copies with slack headroom (safe: no overlap within a
+          // 16B chunk when d >= 16)
+          int64_t k = 0;
+          do {
+            uint64_t w0, w1;
+            std::memcpy(&w0, out + src + k, 8);
+            std::memcpy(&w1, out + src + k + 8, 8);
+            std::memcpy(out + pos + k, &w0, 8);
+            std::memcpy(out + pos + k + 8, &w1, 8);
+            k += 16;
+          } while (k < len);
           pos += len;
         } else if (d >= 8) {
           // word copies with 16-byte slack headroom
