@@ -526,8 +526,10 @@ def resolve_flat_device(tape, input_bytes, window: bytes = b"",
                                   window_len=len(window), G=G, K=K,
                                   seg_rows=seg_rows)
     args, n_rows_out = stage_flat_plan(plan, window)
-    rows = _resolve_flat_impl(*(jnp.asarray(a) for a in args), n_rows_out,
-                              plan.seg_rows)
+    # ONE batched host->device transfer for the whole plan (a per-array
+    # jnp.asarray paid a dispatch round trip each on the tunnel)
+    dargs = jax.device_put(tuple(args))
+    rows = _resolve_flat_impl(*dargs, n_rows_out, plan.seg_rows)
     return rows, plan.total_out
 
 
