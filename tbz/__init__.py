@@ -27,7 +27,7 @@ __all__ = [
     "DeflateError", "ChecksumError", "TruncatedError",
     "decompress", "compress", "decompress_into", "decompress_file",
     "decompress_stream",
-    "Decompressor", "Compressor", "ZipReader",
+    "Decompressor", "Compressor", "ZipReader", "ZipWriter",
 ]
 
 
@@ -40,7 +40,7 @@ def __getattr__(name):
     if name in ("Decompressor", "Compressor"):
         from . import streaming
         return getattr(streaming, name)
-    if name == "ZipReader":
-        from .formats.zip_fmt import ZipReader
-        return ZipReader
+    if name in ("ZipReader", "ZipWriter"):
+        from .formats import zip_fmt
+        return getattr(zip_fmt, name)
     raise AttributeError(name)

@@ -159,3 +159,79 @@ class ZipReader:
         infolist() + _read_entry-via-read for positional access."""
         return {e.name: self._read_entry(e, e.name, verify)
                 for e in self.entries}
+
+
+class ZipWriter:
+    """Minimal ZIP writer (APPNOTE 4.4.x subset matching ZipReader):
+    local file headers + central directory + EOCD, method 8 (deflate,
+    via the tbz encoder) or 0 (stored). No zip64 — sizes and offsets
+    must stay under 4GiB (raises otherwise).
+
+    Usage:
+        w = ZipWriter()
+        w.write("a.txt", b"hello", level=9)
+        blob = w.getvalue()          # round-trips through ZipReader
+    """
+
+    def __init__(self):
+        self._parts: list[bytes] = []
+        self._central: list[bytes] = []
+        self._offset = 0
+        self._count = 0
+
+    def write(self, name: str, data: bytes, level: int = 6,
+              method: int | None = None) -> None:
+        from .. import deflate_encode as de
+        data = bytes(data)
+        name_b = name.encode("utf-8")
+        crc = _zlib.crc32(data)
+        if method is None:
+            method = 8 if level > 0 and len(data) > 32 else 0
+        if method == 8:
+            body = de.deflate_raw(data, max(level, 1))
+            if len(body) >= len(data):
+                method, body = 0, data
+        elif method == 0:
+            body = data
+        else:
+            raise ValueError(f"unsupported zip method {method}")
+        if max(len(body), len(data)) >= 0xFFFFFFFF or \
+                self._offset >= 0xFFFFFFFF:
+            raise ValueError("zip64 not supported (entry/archive >=4GiB)")
+        # general-purpose flag bit 11: UTF-8 names
+        flags = 0x0800
+        fixed = (b"PK\x03\x04" + (20).to_bytes(2, "little")
+                 + flags.to_bytes(2, "little")
+                 + method.to_bytes(2, "little")
+                 + b"\x00\x00\x00\x00"  # dos time/date (zeroed)
+                 + crc.to_bytes(4, "little")
+                 + len(body).to_bytes(4, "little")
+                 + len(data).to_bytes(4, "little")
+                 + len(name_b).to_bytes(2, "little")
+                 + b"\x00\x00")
+        self._parts.append(fixed + name_b + body)
+        self._central.append(
+            b"PK\x01\x02" + (20).to_bytes(2, "little") * 2
+            + flags.to_bytes(2, "little")
+            + method.to_bytes(2, "little")
+            + b"\x00\x00\x00\x00"
+            + crc.to_bytes(4, "little")
+            + len(body).to_bytes(4, "little")
+            + len(data).to_bytes(4, "little")
+            + len(name_b).to_bytes(2, "little")
+            + b"\x00\x00" * 3  # extra/comment len, disk#
+            + b"\x00\x00"      # internal attrs
+            + b"\x00\x00\x00\x00"  # external attrs
+            + self._offset.to_bytes(4, "little")
+            + name_b)
+        self._offset += len(fixed) + len(name_b) + len(body)
+        self._count += 1
+
+    def getvalue(self) -> bytes:
+        cd = b"".join(self._central)
+        eocd = (b"PK\x05\x06" + b"\x00\x00" * 2
+                + self._count.to_bytes(2, "little") * 2
+                + len(cd).to_bytes(4, "little")
+                + self._offset.to_bytes(4, "little")
+                + b"\x00\x00")
+        return b"".join(self._parts) + cd + eocd

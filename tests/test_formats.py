@@ -191,3 +191,40 @@ def test_zip_reader_unknown_name_keyerror():
     zr = ZipReader(buf.getvalue())
     with pytest.raises(KeyError, match="no item named 'missing.bin'"):
         zr.read("missing.bin")
+
+
+def test_zip_writer_roundtrip(tmp_path):
+    """ZipWriter blobs round-trip through BOTH our ZipReader and
+    stdlib zipfile (interop), deflate and stored methods."""
+    import io
+    import zipfile
+    import tbz
+    from util import corpus
+    w = tbz.ZipWriter()
+    files = {"a.txt": corpus(41, 50000), "dir/b.bin": corpus(42, 120000),
+             "tiny": b"x"}
+    for name, data in files.items():
+        w.write(name, data, level=9)
+    blob = w.getvalue()
+    r = tbz.ZipReader(blob)
+    for name, data in files.items():
+        assert r.read(name) == data
+    zf = zipfile.ZipFile(io.BytesIO(blob))
+    assert zf.testzip() is None
+    for name, data in files.items():
+        assert zf.read(name) == data
+
+
+def test_zip_writer_stored_fallback():
+    """Incompressible data falls back to stored (method 0)."""
+    import io
+    import os
+    import zipfile
+    import tbz
+    data = os.urandom(10000)
+    w = tbz.ZipWriter()
+    w.write("r.bin", data)
+    blob = w.getvalue()
+    assert tbz.ZipReader(blob).read("r.bin") == data
+    zf = zipfile.ZipFile(io.BytesIO(blob))
+    assert zf.getinfo("r.bin").compress_type == zipfile.ZIP_STORED
