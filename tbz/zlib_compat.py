@@ -1,0 +1,151 @@
+"""Drop-in `zlib`-module-compatible surface over tbz.
+
+`import tbz.zlib_compat as zlib` gives the stdlib signatures —
+compress/decompress (wbits-aware), compressobj/decompressobj (incl.
+zdict on the decompress side, max_length, unused_data/unconsumed_tail/
+eof), crc32/adler32 (+ the crc32_combine/adler32_combine extensions
+stdlib lacks) — backed by the tbz encoder/decoder. The migration story
+for callers of the reference or of stdlib zlib: change one import.
+
+wbits mapping (zlib manual): 9..15 zlib framing, -9..-15 raw deflate,
+16+9..16+15 gzip, 32+9..32+15 auto-detect zlib/gzip. Window sizes
+below 32KB are accepted but not enforced on encode (tbz always uses
+the full 32KB window; output remains valid for any conformant
+decoder — a 2^n window stream is also a 2^15 window stream).
+"""
+
+from __future__ import annotations
+
+import zlib as _z
+
+from . import api as _api
+from . import deflate_encode as _de
+from . import streaming as _streaming
+from .errors import DeflateError as _DeflateError
+
+error = _z.error
+
+Z_DEFAULT_COMPRESSION = -1
+Z_BEST_COMPRESSION = 9
+Z_BEST_SPEED = 1
+Z_NO_COMPRESSION = 0
+MAX_WBITS = 15
+DEFLATED = 8
+
+
+def _fmt_from_wbits(wbits: int):
+    if 9 <= wbits <= 15:
+        return "zlib"
+    if -15 <= wbits <= -9:
+        return "raw"
+    if 25 <= wbits <= 31:
+        return "gzip"
+    if 41 <= wbits <= 47:
+        return "auto"
+    raise ValueError(f"invalid wbits {wbits}")
+
+
+def _norm_level(level: int) -> int:
+    if level == Z_DEFAULT_COMPRESSION:
+        return 6
+    if not 0 <= level <= 9:
+        raise error(f"Bad compression level {level}")
+    return level
+
+
+def compress(data, /, level: int = Z_DEFAULT_COMPRESSION,
+             wbits: int = MAX_WBITS) -> bytes:
+    return _api.compress(bytes(data), format=_fmt_from_wbits(wbits)
+                         if wbits != MAX_WBITS else "zlib",
+                         level=_norm_level(level))
+
+
+def decompress(data, /, wbits: int = MAX_WBITS,
+               bufsize: int = 16384) -> bytes:
+    del bufsize  # exact two-phase sizing; no growth loop to tune
+    try:
+        return _api.decompress(bytes(data), format=_fmt_from_wbits(wbits))
+    except _DeflateError as e:
+        raise error(str(e)) from e
+
+
+def crc32(data, value: int = 0, /) -> int:
+    return _z.crc32(data, value)
+
+
+def adler32(data, value: int = 1, /) -> int:
+    return _z.adler32(data, value)
+
+
+def crc32_combine(crc1: int, crc2: int, len2: int) -> int:
+    """GF(2) matrix combine (tbz extension; stdlib zlib's C API has
+    it, the Python module does not)."""
+    from . import checksums as _cs
+    return _cs.crc32_combine(crc1, crc2, len2)
+
+
+def adler32_combine(a1: int, a2: int, len2: int) -> int:
+    from . import checksums as _cs
+    return _cs.adler32_combine(a1, a2, len2)
+
+
+class compressobj:
+    """zlib.compressobj work-alike (method/memLevel/strategy accepted
+    and ignored — tbz has one strategy tier per level)."""
+
+    def __init__(self, level: int = Z_DEFAULT_COMPRESSION,
+                 method: int = DEFLATED, wbits: int = MAX_WBITS,
+                 memLevel: int = 8, strategy: int = 0,
+                 zdict: bytes | None = None):
+        del method, memLevel, strategy
+        if zdict:
+            raise NotImplementedError(
+                "preset dictionaries are not supported on the tbz "
+                "encode side yet (decompressobj supports zdict)")
+        self._co = _streaming.Compressor(_fmt_from_wbits(wbits),
+                                         _norm_level(level))
+        self._flushed = False
+
+    def compress(self, data) -> bytes:
+        return self._co.compress(bytes(data))
+
+    def flush(self, mode: int = 4) -> bytes:  # Z_FINISH default
+        del mode
+        if self._flushed:
+            return b""
+        self._flushed = True
+        return self._co.flush()
+
+
+class decompressobj:
+    """zlib.decompressobj work-alike over tbz.streaming.Decompressor
+    (byte-granular resume, bounded-memory max_length)."""
+
+    def __init__(self, wbits: int = MAX_WBITS, zdict: bytes = b""):
+        self._d = _streaming.Decompressor(_fmt_from_wbits(wbits),
+                                          zdict=zdict)
+
+    def decompress(self, data, max_length: int = 0) -> bytes:
+        try:
+            return self._d.decompress(bytes(data), max_length=max_length)
+        except _DeflateError as e:
+            raise error(str(e)) from e
+
+    def flush(self, length: int = 16384) -> bytes:
+        del length
+        try:
+            return self._d.flush()
+        except _DeflateError as e:
+            raise error(str(e)) from e
+
+    @property
+    def eof(self) -> bool:
+        return self._d.eof
+
+    @property
+    def unused_data(self) -> bytes:
+        return self._d.unused_data
+
+    @property
+    def unconsumed_tail(self) -> bytes:
+        return self._d.unconsumed_tail

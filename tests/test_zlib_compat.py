@@ -1,0 +1,89 @@
+"""tbz.zlib_compat — stdlib-zlib drop-in surface (one-import
+migration; differential-tested against the real zlib module)."""
+
+import zlib as stdzlib
+
+import pytest
+
+import tbz.zlib_compat as tz
+
+from util import corpus
+
+
+def test_compress_decompress_wbits_matrix():
+    data = corpus(50, 200000)
+    for wbits in (15, -15, 31):
+        blob = tz.compress(data, 6, wbits)
+        # stdlib can read ours...
+        assert stdzlib.decompress(blob, wbits) == data
+        # ...and we can read stdlib's
+        std = stdzlib.compress(data, 6) if wbits == 15 else (
+            stdzlib.compressobj(6, 8, wbits).compress(data))
+        if wbits != 15:
+            co = stdzlib.compressobj(6, 8, wbits)
+            std = co.compress(data) + co.flush()
+        assert tz.decompress(std, wbits) == data
+        assert tz.decompress(blob, wbits) == data
+
+
+def test_decompress_auto_detect_47():
+    data = corpus(51, 50000)
+    assert tz.decompress(stdzlib.compress(data, 9), 47) == data
+    import gzip
+    assert tz.decompress(gzip.compress(data), 47) == data
+
+
+def test_error_class_is_zlib_error():
+    with pytest.raises(tz.error):
+        tz.decompress(b"\x07\x12garbage", -15)
+    with pytest.raises(tz.error):
+        tz.decompress(b"", 15)
+
+
+def test_compressobj_decompressobj_streaming():
+    data = corpus(52, 300000)
+    co = tz.compressobj(7)
+    out = b""
+    for i in range(0, len(data), 7777):
+        out += co.compress(data[i:i + 7777])
+    out += co.flush()
+    assert stdzlib.decompress(out) == data
+    d = tz.decompressobj()
+    got = b""
+    for i in range(0, len(out), 999):
+        got += d.decompress(out[i:i + 999])
+    got += d.flush()
+    assert got == data
+    assert d.eof
+
+
+def test_decompressobj_max_length_and_tail():
+    data = corpus(53, 100000)
+    payload = stdzlib.compress(data, 6) + b"TRAILING"
+    d = tz.decompressobj()
+    got = d.decompress(payload, max_length=1000)
+    assert len(got) <= 1000
+    while not d.eof:
+        got += d.decompress(d.unconsumed_tail, max_length=4096)
+    got += d.flush()
+    assert got == data
+    assert d.unused_data == b"TRAILING"
+
+
+def test_decompressobj_zdict():
+    hist = b"the quick brown fox jumps over the lazy dog" * 10
+    data = hist[-300:] + corpus(54, 5000)
+    co = stdzlib.compressobj(9, 8, 15, 8, 0, hist)
+    payload = co.compress(data) + co.flush()
+    d = tz.decompressobj(15, hist)
+    assert d.decompress(payload) + d.flush() == data
+
+
+def test_checksums_and_combines():
+    a, b = corpus(55, 30000), corpus(56, 40000)
+    assert tz.crc32(a) == stdzlib.crc32(a)
+    assert tz.adler32(a) == stdzlib.adler32(a)
+    assert tz.crc32_combine(tz.crc32(a), tz.crc32(b), len(b)) == \
+        stdzlib.crc32(a + b)
+    assert tz.adler32_combine(tz.adler32(a), tz.adler32(b), len(b)) == \
+        stdzlib.adler32(a + b)
