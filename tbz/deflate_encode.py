@@ -39,14 +39,41 @@ _FAST6_CFG = (48, 1, 96)
 _FAST6_MIN = 1 << 16
 
 
-def tokenize_for_encode(data: bytes, level: int, _cfg=None):
+def tokenize_for_encode(data: bytes, level: int, _cfg=None,
+                        zdict: bytes = b""):
     """Run the best available matcher. Returns (out_len, dist, lit).
 
     Levels 4-9 use the native cost-model DP parse (globally cheapest
     tokenization under iterated entropy stats — the mechanism by which
     output stays <= libz at every level on every corpus); levels 1-3 the
     lazy hash-chain matcher. _cfg overrides the level's DP parameters
-    (the L6 fast/heavy tiers)."""
+    (the L6 fast/heavy tiers).
+
+    zdict: preset dictionary — the matcher runs over dict+data and the
+    dictionary-prefix tokens are trimmed (a match straddling the
+    boundary is patched with literals for its data-side bytes, <=258B
+    of ratio cost); emitted distances may reach into the dictionary,
+    valid for any decoder preloaded with it (RFC 1950 FDICT)."""
+    if zdict:
+        d = bytes(zdict)[-32768:]
+        ol, di, li = tokenize_for_encode(d + data, level, _cfg)
+        end = np.cumsum(ol.astype(np.int64))
+        start = end - ol
+        cut = len(d)
+        keep = start >= cut
+        if keep.all() or not len(ol):
+            return ol, di, li
+        first = int(np.argmax(keep)) if keep.any() else len(ol)
+        patch_n = 0
+        if first > 0:
+            prev_end = int(end[first - 1])
+            patch_n = prev_end - cut if prev_end > cut else 0
+        ol2 = np.concatenate([np.ones(patch_n, np.int32), ol[first:]])
+        di2 = np.concatenate([np.zeros(patch_n, np.int32), di[first:]])
+        li2 = np.concatenate([
+            np.frombuffer(data[:patch_n], np.uint8).astype(np.int32),
+            li[first:]])
+        return ol2, di2, li2
     try:
         from .native import loader
         if loader.available():
@@ -233,7 +260,7 @@ def _emit_stored(w: BitWriter, chunk: bytes, final: bool) -> None:
 
 def deflate_raw(data: bytes, level: int = 6, *, final: bool = True,
                 writer: BitWriter | None = None,
-                _cfg=None) -> bytes:
+                zdict: bytes = b"", _cfg=None) -> bytes:
     """Raw DEFLATE stream (RFC 1951) of `data`.
 
     final=False emits non-final blocks followed by an empty stored block
@@ -248,11 +275,17 @@ def deflate_raw(data: bytes, level: int = 6, *, final: bool = True,
     data = bytes(data)
     if (_cfg is None and writer is None and level == 6
             and len(data) >= _FAST6_MIN):
-        fast = deflate_raw(data, 6, final=final, _cfg=_FAST6_CFG)
-        guard = len(_zlib.compress(data, 6)) - 6
+        fast = deflate_raw(data, 6, final=final, zdict=zdict,
+                           _cfg=_FAST6_CFG)
+        if zdict:
+            co = _zlib.compressobj(6, 8, -15, 8, 0, bytes(zdict))
+            guard = len(co.compress(data) + co.flush())
+        else:
+            guard = len(_zlib.compress(data, 6)) - 6
         if len(fast) <= guard:
             return fast
-        heavy = deflate_raw(data, 6, final=final, _cfg=_OPTIMAL_CFG[6])
+        heavy = deflate_raw(data, 6, final=final, zdict=zdict,
+                            _cfg=_OPTIMAL_CFG[6])
         return heavy if len(heavy) < len(fast) else fast
     w = writer or BitWriter()
 
@@ -281,7 +314,7 @@ def deflate_raw(data: bytes, level: int = 6, *, final: bool = True,
         _emit_stored(w, data, final=False)
         return finish()
 
-    ol, di, li = tokenize_for_encode(data, level, _cfg)
+    ol, di, li = tokenize_for_encode(data, level, _cfg, zdict)
     n_tok = len(ol)
     byte_pos = np.concatenate([[0], np.cumsum(ol)])
     blocks = _plan_blocks(ol, di, li)
@@ -379,25 +412,31 @@ def deflate_raw_parallel(data: bytes, level: int = 6,
 def compress(data, format: str = "zlib", level: int = 6,
              mtime: int = 0, name: str | None = None,
              extra: list | None = None,
-             threads: int | None = None) -> bytes:
+             threads: int | None = None,
+             zdict: bytes = b"") -> bytes:
     """Compress to raw / zlib / gzip framing. threads>1 enables
     segment-parallel encoding for large inputs. extra: gzip FEXTRA
-    subfields as [(2-byte id, payload), ...] (RFC 1952 §2.3.1.1)."""
+    subfields as [(2-byte id, payload), ...] (RFC 1952 §2.3.1.1).
+    zdict: preset dictionary (raw/zlib only; zlib sets FDICT+DICTID)."""
     data = bytes(data)
-    if threads and threads > 1 and len(data) > (1 << 21):
+    if zdict and format == "gzip":
+        raise ValueError("gzip has no preset-dictionary concept")
+    if threads and threads > 1 and len(data) > (1 << 21) and not zdict:
         body = deflate_raw_parallel(data, level, threads)
     else:
-        body = deflate_raw(data, level)
+        body = deflate_raw(data, level, zdict=zdict)
     if format == "raw":
         return body
     if format == "zlib":
         cmf = 0x78  # CM=8, CINFO=7 (32KB window)
         flevel = 0 if level < 2 else 1 if level < 6 else 2 if level < 8 else 3
-        flg = flevel << 6
+        flg = (flevel << 6) | (0x20 if zdict else 0)
         rem = ((cmf << 8) | flg) % 31
         if rem:
             flg += 31 - rem
-        return (bytes([cmf, flg]) + body
+        dictid = (_zlib.adler32(bytes(zdict)).to_bytes(4, "big")
+                  if zdict else b"")
+        return (bytes([cmf, flg]) + dictid + body
                 + _zlib.adler32(data).to_bytes(4, "big"))
     if format == "gzip":
         flg = 0

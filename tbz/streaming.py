@@ -778,8 +778,11 @@ class Compressor:
     SEGMENT = 1 << 20
 
     def __init__(self, format: str = "zlib", level: int = 6,
-                 mtime: int = 0, name: str | None = None):
+                 mtime: int = 0, name: str | None = None,
+                 zdict: bytes = b""):
         assert format in ("raw", "zlib", "gzip")
+        if zdict and format == "gzip":
+            raise ValueError("gzip has no preset-dictionary concept")
         self.format = format
         self.level = level
         self._buf = b""
@@ -789,6 +792,10 @@ class Compressor:
         self._mtime = mtime
         self._name = name
         self._done = False
+        # preset dictionary: back-references for the FIRST segment only
+        # (segments are independently matched; later segments simply
+        # don't use it — valid output either way)
+        self._zdict = bytes(zdict)
 
     def _header(self) -> bytes:
         if self.format == "raw":
@@ -797,11 +804,14 @@ class Compressor:
             cmf = 0x78
             flevel = (0 if self.level < 2 else 1 if self.level < 6
                       else 2 if self.level < 8 else 3)
-            flg = flevel << 6
+            flg = (flevel << 6) | (0x20 if self._zdict else 0)
             rem = ((cmf << 8) | flg) % 31
             if rem:
                 flg += 31 - rem
-            return bytes([cmf, flg])
+            hdr = bytes([cmf, flg])
+            if self._zdict:
+                hdr += _zlib.adler32(self._zdict).to_bytes(4, "big")
+            return hdr
         flg = 0x08 if self._name is not None else 0
         name_b = (self._name.encode("utf-8") + b"\x00"
                   if self._name is not None else b"")
@@ -827,8 +837,13 @@ class Compressor:
             seg, self._buf = (self._buf[:self.SEGMENT],
                               self._buf[self.SEGMENT:])
             self._update_cksum(seg)
-            out += de.deflate_raw(seg, self.level, final=False)
+            out += de.deflate_raw(seg, self.level, final=False,
+                                  zdict=self._take_zdict())
         return out
+
+    def _take_zdict(self) -> bytes:
+        z, self._zdict = self._zdict, b""
+        return z
 
     def flush(self) -> bytes:
         from . import deflate_encode as de
@@ -836,7 +851,8 @@ class Compressor:
         self._done = True
         out = b"" if self._started else self._header()
         self._update_cksum(self._buf)
-        out += de.deflate_raw(self._buf, self.level, final=True)
+        out += de.deflate_raw(self._buf, self.level, final=True,
+                              zdict=self._take_zdict())
         self._buf = b""
         if self.format == "zlib":
             out += int(self._cksum).to_bytes(4, "big")

@@ -98,12 +98,11 @@ class compressobj:
                  memLevel: int = 8, strategy: int = 0,
                  zdict: bytes | None = None):
         del method, memLevel, strategy
-        if zdict:
-            raise NotImplementedError(
-                "preset dictionaries are not supported on the tbz "
-                "encode side yet (decompressobj supports zdict)")
-        self._co = _streaming.Compressor(_fmt_from_wbits(wbits),
-                                         _norm_level(level))
+        fmt = _fmt_from_wbits(wbits)
+        if zdict and fmt == "gzip":
+            raise ValueError("cannot use zdict with gzip wbits")
+        self._co = _streaming.Compressor(fmt, _norm_level(level),
+                                         zdict=zdict or b"")
         self._flushed = False
 
     def compress(self, data) -> bytes:

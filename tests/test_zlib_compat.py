@@ -87,3 +87,36 @@ def test_checksums_and_combines():
         stdzlib.crc32(a + b)
     assert tz.adler32_combine(tz.adler32(a), tz.adler32(b), len(b)) == \
         stdzlib.adler32(a + b)
+
+
+def test_compressobj_zdict_roundtrip():
+    """Encode-side preset dictionary: stdlib must decode our FDICT
+    stream with the same dict, and the dictionary must actually help."""
+    hist = (b"a preset dictionary full of common phrases and words "
+            b"that the payload reuses heavily ") * 40
+    data = hist[:2000] + corpus(57, 3000) + hist[1000:3000]
+    co = tz.compressobj(9, 8, 15, 8, 0, hist)
+    blob = co.compress(data) + co.flush()
+    d = stdzlib.decompressobj(15, hist)
+    assert d.decompress(blob) + d.flush() == data
+    co2 = tz.compressobj(9)
+    plain = co2.compress(data) + co2.flush()
+    assert len(blob) < len(plain)  # the dict paid
+    # raw wbits too
+    co3 = tz.compressobj(9, 8, -15, 8, 0, hist)
+    raw = co3.compress(data) + co3.flush()
+    d3 = stdzlib.decompressobj(-15, hist)
+    assert d3.decompress(raw) + d3.flush() == data
+
+
+def test_api_compress_zdict():
+    import tbz
+    hist = b"0123456789abcdef" * 600
+    data = hist[-4000:] + b"tail that is new content " * 20
+    blob = tbz.compress(data, "zlib", 6, zdict=hist)
+    # our own reader (FDICT header path) and stdlib agree
+    assert tbz.decompress(blob, "zlib", zdict=hist) == data
+    d = stdzlib.decompressobj(15, hist)
+    assert d.decompress(blob) + d.flush() == data
+    with pytest.raises(ValueError):
+        tbz.compress(data, "gzip", zdict=hist)
