@@ -164,11 +164,18 @@ def _plan_blocks(ol, di, li):
     starts = np.arange(U, dtype=np.int64) * _SPLIT_UNIT
     ends = np.minimum(starts + _SPLIT_UNIT, n)
     C_ = _cost_rows(LF, DF, EX)
+
+    def pair_costs(idx):
+        return _cost_rows(LF[idx] + LF[idx + 1], DF[idx] + DF[idx + 1],
+                          EX[idx] + EX[idx + 1])
+
+    # incremental fixpoint: a pass's merges only dirty the pairs
+    # adjacent to a merge — recomputing every pair cost each pass was
+    # O(passes * U * 288) and measured 0.42s/4MB; now ~2 full passes
+    # equivalent
+    MC = pair_costs(np.arange(len(starts) - 1)) if len(starts) > 1 \
+        else np.empty(0)
     while len(starts) > 1:
-        MLF = LF[:-1] + LF[1:]
-        MDF = DF[:-1] + DF[1:]
-        MEX = EX[:-1] + EX[1:]
-        MC = _cost_rows(MLF, MDF, MEX)
         cond = MC <= C_[:-1] + C_[1:]
         keep_start = []
         merged = []
@@ -194,13 +201,24 @@ def _plan_blocks(ol, di, li):
         nEX = EX[ki].copy()
         nC = C_[ki].copy()
         nEnds = ends[ki].copy()
-        nLF[mg] = MLF[ki[mg]]
-        nDF[mg] = MDF[ki[mg]]
-        nEX[mg] = MEX[ki[mg]]
-        nC[mg] = MC[ki[mg]]
-        nEnds[mg] = ends[ki[mg] + 1]
+        mi = ki[mg]
+        nLF[mg] = LF[mi] + LF[mi + 1]
+        nDF[mg] = DF[mi] + DF[mi + 1]
+        nEX[mg] = EX[mi] + EX[mi + 1]
+        nC[mg] = MC[mi]
+        nEnds[mg] = ends[mi + 1]
         LF, DF, EX, C_ = nLF, nDF, nEX, nC
         starts, ends = starts[ki], nEnds
+        if len(starts) <= 1:
+            break
+        # carry clean pair costs; recompute only pairs whose either
+        # side was rebuilt by a merge
+        nMC = MC[ki[:-1]]
+        dirty = mg[:-1] | mg[1:]
+        if dirty.any():
+            didx = np.flatnonzero(dirty)
+            nMC[didx] = pair_costs(didx)
+        MC = nMC
     return list(zip(starts.tolist(), ends.tolist()))
 
 
