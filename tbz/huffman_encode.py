@@ -32,23 +32,29 @@ def package_merge_lengths(freqs: np.ndarray, max_len: int) -> np.ndarray:
     if (1 << max_len) < n:
         raise ValueError("alphabet too large for length limit")
 
-    # items: (weight, symbol-multiset as tuple). Packages carry the
-    # symbols they contain; a symbol's final length = how many of the
-    # 2(n-1) selected cheapest items contain it.
-    base = sorted((int(freqs[s]), (int(s),)) for s in used)
-    merged = list(base)
+    # Vectorized item representation: weights vector + (items, n) uint8
+    # symbol-count matrix (a symbol's final length = how many of the
+    # 2(n-1) cheapest items contain it; counts <= max_len). The earlier
+    # tuple-multiset form churned Python objects — 606 calls cost 0.25s
+    # per 4MB encode; this is whole-matrix adds + stable argsorts.
+    # Stable sort with base items listed first on weight ties keeps the
+    # selection a valid nodeset; any consistent tie-break preserves the
+    # optimal total cost.
+    order0 = np.argsort(freqs[used], kind="stable")
+    bw = freqs[used][order0]
+    bs = np.zeros((n, n), np.uint8)
+    bs[np.arange(n), order0] = 1
+    W, S = bw, bs
     for _ in range(max_len - 1):
-        packaged = [
-            (merged[i][0] + merged[i + 1][0], merged[i][1] + merged[i + 1][1])
-            for i in range(0, len(merged) - 1, 2)
-        ]
-        merged = sorted(base + packaged)
-    counts: dict[int, int] = {}
-    for w, syms in merged[:2 * (n - 1)]:
-        for s in syms:
-            counts[s] = counts.get(s, 0) + 1
-    for s, l in counts.items():
-        lengths[s] = l
+        k = len(W) // 2
+        pw = W[0:2 * k:2] + W[1:2 * k:2]
+        ps = S[0:2 * k:2] + S[1:2 * k:2]
+        W = np.concatenate([bw, pw])
+        S = np.concatenate([bs, ps])
+        o = np.argsort(W, kind="stable")
+        W, S = W[o], S[o]
+    sel = S[:2 * (n - 1)].sum(axis=0, dtype=np.int64)
+    lengths[used] = sel
     assert lengths[used].min() >= 1 and lengths[used].max() <= max_len
     # Kraft equality sanity: optimal lengths form a complete code.
     assert sum(1 << (max_len - l) for l in lengths[used]) == 1 << max_len
