@@ -115,6 +115,13 @@ class compressobj:
         self._flushed = True
         return self._co.flush()
 
+    def copy(self) -> "compressobj":
+        import copy as _copy
+        c = compressobj.__new__(compressobj)
+        c._co = _copy.deepcopy(self._co)
+        c._flushed = self._flushed
+        return c
+
 
 class decompressobj:
     """zlib.decompressobj work-alike over tbz.streaming.Decompressor
@@ -148,3 +155,10 @@ class decompressobj:
     @property
     def unconsumed_tail(self) -> bytes:
         return self._d.unconsumed_tail
+
+    def copy(self) -> "decompressobj":
+        """Fork mid-stream via the checkpoint blob (the same mechanism
+        that survives process restarts)."""
+        d = decompressobj.__new__(decompressobj)
+        d._d = _streaming.Decompressor.restore(self._d.checkpoint())
+        return d

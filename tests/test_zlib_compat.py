@@ -120,3 +120,21 @@ def test_api_compress_zdict():
     assert d.decompress(blob) + d.flush() == data
     with pytest.raises(ValueError):
         tbz.compress(data, "gzip", zdict=hist)
+
+
+def test_copy_forks_streams():
+    data = corpus(58, 120000)
+    payload = stdzlib.compress(data, 6)
+    d = tz.decompressobj()
+    got = d.decompress(payload[:30000])
+    d2 = d.copy()
+    a = got + d.decompress(payload[30000:]) + d.flush()
+    b = got + d2.decompress(payload[30000:]) + d2.flush()
+    assert a == data and b == data
+    co = tz.compressobj(6)
+    h = co.compress(data[:50000])
+    co2 = co.copy()
+    s1 = h + co.compress(data[50000:]) + co.flush()
+    s2 = h + co2.compress(data[50000:]) + co2.flush()
+    assert stdzlib.decompress(s1) == data
+    assert stdzlib.decompress(s2) == data
