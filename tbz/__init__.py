@@ -17,6 +17,11 @@ codec):
   deflate_encode, lz77, huffman_encode — the encoder (beyond reference)
   parallel/                     — mesh / shard_map distribution
   native/                       — C++ runtime components (ctypes)
+  zlib_compat                   — stdlib-zlib drop-in surface
+                                  (compressobj/decompressobj, wbits,
+                                  zdict, copy; one-import migration)
+
+CLI: `python -m tbz [-d] [-c] [-l N] file` (gzip-compatible tool).
 """
 
 from .errors import ChecksumError, DeflateError, TruncatedError

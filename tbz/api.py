@@ -297,6 +297,10 @@ def decompress_into(data, out, format: str = "auto", *,
 
 
 def compress(data, format: str = "zlib", level: int | None = None, **kw):
+    """Compress to raw / zlib / gzip framing (level None reads
+    Config.level). Extra keywords pass through to the encoder:
+    threads= (segment-parallel), zdict= (preset dictionary, raw/zlib),
+    mtime=/name=/extra= (gzip header fields)."""
     from . import deflate_encode
     if level is None:
         level = get_config().level
