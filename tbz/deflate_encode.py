@@ -32,10 +32,11 @@ _OPTIMAL_CFG = {4: (32, 1, 48), 5: (64, 1, 96), 6: (160, 1, 160),
 # L6 speed tier: a lighter parse first, accepted only if it still beats
 # libz on the SAME data (the guard re-compresses with zlib — ~4% of our
 # encode time); the heavy _OPTIMAL_CFG[6] parse is the fallback, so the
-# strict <=libz invariant holds by construction. Measured: the fast
-# config wins everywhere except dense English text (worst 1.043x libz
-# there), making typical L6 ~1.8x faster.
-_FAST6_CFG = (48, 1, 96)
+# strict <=libz invariant holds by construction. Config swept with the
+# guard in place: (32,1,64) is ~1.6x the (48,1,96) tier at +0.15%
+# bench-mix size (the guard reruns heavy only where fast loses, mainly
+# dense text).
+_FAST6_CFG = (32, 1, 64)
 _FAST6_MIN = 1 << 16
 
 
