@@ -138,3 +138,22 @@ def test_copy_forks_streams():
     s2 = h + co2.compress(data[50000:]) + co2.flush()
     assert stdzlib.decompress(s1) == data
     assert stdzlib.decompress(s2) == data
+
+
+def test_zdict_encode_fuzz_vs_stdlib():
+    """Random dictionaries x levels: our FDICT streams must decode via
+    stdlib with the same dict, at every boundary-straddle shape."""
+    import numpy as np
+    import tbz
+    rng = np.random.default_rng(99)
+    for trial in range(12):
+        dl = int(rng.integers(10, 40000))
+        hist = bytes(rng.integers(97, 123, dl, dtype=np.uint8))
+        # payload starts inside dict content to force boundary matches
+        k = int(rng.integers(0, dl))
+        data = hist[k:] + corpus(60 + trial, int(rng.integers(100, 20000)))
+        lvl = int(rng.integers(1, 10))
+        blob = tbz.compress(data, "zlib", lvl, zdict=hist)
+        d = stdzlib.decompressobj(15, hist)
+        assert d.decompress(blob) + d.flush() == data, (trial, lvl, dl)
+        assert tbz.decompress(blob, "zlib", zdict=hist) == data
