@@ -552,6 +552,71 @@ static int32_t tokenize_impl(const uint8_t* data, int64_t size,
     }
     // symbol loop
     for (;;) {
+      // Fast region (mirrors inflate_core): >=8 input bytes buffered
+      // covers a worst-case 48-bit token after one fill, so code+extra
+      // consume in combined drops and literals burst. Any boundary
+      // condition (input tail, tape cap) falls through to the careful
+      // path below with the bit position at a symbol start.
+      if (br.pos + 8 <= br.n && nt < cap) {
+        br.fill();
+        uint32_t e;
+        for (;;) {
+          e = lit_t[uint32_t(br.buf) & ((1u << kLitRoot) - 1)];
+          if (e_op(e) == OP_LINK)
+            e = lit_t[e_val(e) +
+                      ((uint32_t(br.buf) >> kLitRoot) &
+                       ((1u << e_extra(e)) - 1))];
+          if (e_op(e) != OP_LITERAL) break;
+          br.drop(e_nbits(e));
+          out_len[nt] = 1;
+          dist[nt] = 0;
+          root_val[nt] = int32_t(e_val(e));
+          nt++;
+          produced++;
+          if (br.nbits < 48 || nt >= cap) break;
+        }
+        if (e_op(e) == OP_LITERAL) continue;  // burst ended on bits/cap
+        if (e_op(e) == OP_END) {
+          br.drop(e_nbits(e));
+          break;
+        }
+        if (e_op(e) == OP_INVALID) {
+          res->err = ERR_INVALID_CODE;
+          goto done;
+        }
+        if (nt < cap) {
+          int length = e_val(e) +
+                       int(uint32_t(br.buf >> e_nbits(e)) &
+                           ((1u << e_extra(e)) - 1));
+          br.drop(e_nbits(e) + e_extra(e));
+          br.fill();
+          uint32_t de = dist_t[uint32_t(br.buf) & ((1u << kDistRoot) - 1)];
+          if (e_op(de) == OP_LINK)
+            de = dist_t[e_val(de) +
+                        ((uint32_t(br.buf) >> kDistRoot) &
+                         ((1u << e_extra(de)) - 1))];
+          if (e_op(de) != OP_MATCH) {
+            res->err = ERR_INVALID_CODE;
+            goto done;
+          }
+          int64_t d = e_val(de) +
+                      int64_t(uint32_t(br.buf >> e_nbits(de)) &
+                              ((1u << e_extra(de)) - 1));
+          br.drop(e_nbits(de) + e_extra(de));
+          if (d > produced + window_len) {
+            res->err = ERR_BAD_DISTANCE;
+            goto done;
+          }
+          out_len[nt] = length;
+          dist[nt] = int32_t(d);
+          root_val[nt] = 0;
+          nt++;
+          produced += length;
+          continue;
+        }
+        // nt == cap with a pending match: careful path re-decodes it
+        // from the same position and reports the overflow
+      }
       int64_t sym_start = br.bit_position();
       uint32_t op, extra, val;
       int err = decode_symbol(br, lit_t, kLitRoot, &op, &extra, &val);
