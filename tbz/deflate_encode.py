@@ -40,8 +40,31 @@ _FAST6_CFG = (32, 1, 64)
 _FAST6_MIN = 1 << 16
 
 
+def _cap_match_distances(ol, di, li, raw: bytes, cap: int):
+    """Rewrite any match whose distance exceeds `cap` (a sub-32KB
+    window, zlib wbits 9..14) into its literal bytes. Correctness-first:
+    the DP parse is still run at the full window, then clamped — the
+    ratio cost only applies to reduced-window callers."""
+    bad = di > cap
+    if not bad.any():
+        return ol, di, li
+    end = np.cumsum(ol.astype(np.int64))
+    start = end - ol
+    reps = np.where(bad, ol, 1).astype(np.int64)
+    idx = np.repeat(np.arange(len(ol), dtype=np.int64), reps)
+    off = (np.arange(int(reps.sum()), dtype=np.int64)
+           - np.repeat(np.cumsum(reps) - reps, reps))
+    bad_i = bad[idx]
+    ol2 = np.where(bad_i, 1, ol[idx]).astype(np.int32)
+    di2 = np.where(bad_i, 0, di[idx]).astype(np.int32)
+    arr = np.frombuffer(raw, np.uint8)
+    li2 = np.where(bad_i, arr[start[idx] + off],
+                   li[idx]).astype(np.int32)
+    return ol2, di2, li2
+
+
 def tokenize_for_encode(data: bytes, level: int, _cfg=None,
-                        zdict: bytes = b""):
+                        zdict: bytes = b"", max_dist: int = 32768):
     """Run the best available matcher. Returns (out_len, dist, lit).
 
     Levels 4-9 use the native cost-model DP parse (globally cheapest
@@ -57,7 +80,8 @@ def tokenize_for_encode(data: bytes, level: int, _cfg=None,
     valid for any decoder preloaded with it (RFC 1950 FDICT)."""
     if zdict:
         d = bytes(zdict)[-32768:]
-        ol, di, li = tokenize_for_encode(d + data, level, _cfg)
+        ol, di, li = tokenize_for_encode(d + data, level, _cfg,
+                                         max_dist=max_dist)
         end = np.cumsum(ol.astype(np.int64))
         start = end - ol
         cut = len(d)
@@ -75,19 +99,25 @@ def tokenize_for_encode(data: bytes, level: int, _cfg=None,
             np.frombuffer(data[:patch_n], np.uint8).astype(np.int32),
             li[first:]])
         return ol2, di2, li2
+    res = None
     try:
         from .native import loader
         if loader.available():
             if _cfg is not None:
                 chain, iters, nice = _cfg
-                return loader.lz77_match_optimal(data, chain, iters, nice)
-            if level in _OPTIMAL_CFG:
+                res = loader.lz77_match_optimal(data, chain, iters, nice)
+            elif level in _OPTIMAL_CFG:
                 chain, iters, nice = _OPTIMAL_CFG[level]
-                return loader.lz77_match_optimal(data, chain, iters, nice)
-            return loader.lz77_match(data, level)
+                res = loader.lz77_match_optimal(data, chain, iters, nice)
+            else:
+                res = loader.lz77_match(data, level)
     except ImportError:
         pass
-    return lz77.match_greedy_numpy(data, lazy=level >= 4)
+    if res is None:
+        res = lz77.match_greedy_numpy(data, lazy=level >= 4)
+    if max_dist < 32768:
+        res = _cap_match_distances(*res, data, max_dist)
+    return res
 
 
 def _block_symbol_cost(lit_freqs, lit_lens, dist_freqs, dist_lens,
@@ -279,7 +309,8 @@ def _emit_stored(w: BitWriter, chunk: bytes, final: bool) -> None:
 
 def deflate_raw(data: bytes, level: int = 6, *, final: bool = True,
                 writer: BitWriter | None = None,
-                zdict: bytes = b"", _cfg=None) -> bytes:
+                zdict: bytes = b"", max_dist: int = 32768,
+                _cfg=None) -> bytes:
     """Raw DEFLATE stream (RFC 1951) of `data`.
 
     final=False emits non-final blocks followed by an empty stored block
@@ -293,7 +324,7 @@ def deflate_raw(data: bytes, level: int = 6, *, final: bool = True,
     """
     data = bytes(data)
     if (_cfg is None and writer is None and level == 6
-            and len(data) >= _FAST6_MIN):
+            and max_dist >= 32768 and len(data) >= _FAST6_MIN):
         fast = deflate_raw(data, 6, final=final, zdict=zdict,
                            _cfg=_FAST6_CFG)
         if zdict:
@@ -333,7 +364,8 @@ def deflate_raw(data: bytes, level: int = 6, *, final: bool = True,
         _emit_stored(w, data, final=False)
         return finish()
 
-    ol, di, li = tokenize_for_encode(data, level, _cfg, zdict)
+    ol, di, li = tokenize_for_encode(data, level, _cfg, zdict,
+                                     max_dist=max_dist)
     n_tok = len(ol)
     byte_pos = np.concatenate([[0], np.cumsum(ol)])
     blocks = _plan_blocks(ol, di, li)
@@ -432,22 +464,30 @@ def compress(data, format: str = "zlib", level: int = 6,
              mtime: int = 0, name: str | None = None,
              extra: list | None = None,
              threads: int | None = None,
-             zdict: bytes = b"") -> bytes:
+             zdict: bytes = b"", wbits: int = 15) -> bytes:
     """Compress to raw / zlib / gzip framing. threads>1 enables
     segment-parallel encoding for large inputs. extra: gzip FEXTRA
     subfields as [(2-byte id, payload), ...] (RFC 1952 §2.3.1.1).
-    zdict: preset dictionary (raw/zlib only; zlib sets FDICT+DICTID)."""
+    zdict: preset dictionary (raw/zlib only; zlib sets FDICT+DICTID).
+    wbits 9..14 requests a reduced LZ77 window: match distances are
+    capped at 1<<wbits and the zlib CMF carries the matching CINFO, so
+    a decoder allocating only the advertised window accepts the stream
+    (RFC 1950 §2.2)."""
     data = bytes(data)
+    if not 9 <= wbits <= 15:
+        raise ValueError(f"wbits must be 9..15, got {wbits}")
     if zdict and format == "gzip":
         raise ValueError("gzip has no preset-dictionary concept")
-    if threads and threads > 1 and len(data) > (1 << 21) and not zdict:
+    max_dist = 1 << wbits
+    if threads and threads > 1 and len(data) > (1 << 21) and not zdict \
+            and wbits == 15:
         body = deflate_raw_parallel(data, level, threads)
     else:
-        body = deflate_raw(data, level, zdict=zdict)
+        body = deflate_raw(data, level, zdict=zdict, max_dist=max_dist)
     if format == "raw":
         return body
     if format == "zlib":
-        cmf = 0x78  # CM=8, CINFO=7 (32KB window)
+        cmf = 0x08 | ((wbits - 8) << 4)  # CM=8, CINFO=wbits-8
         flevel = 0 if level < 2 else 1 if level < 6 else 2 if level < 8 else 3
         flg = (flevel << 6) | (0x20 if zdict else 0)
         rem = ((cmf << 8) | flg) % 31

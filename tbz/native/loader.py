@@ -710,10 +710,23 @@ def pack_tokens(out_len, dist, lit, lit_codes_rev, lit_lens,
     return out[:wrote].tobytes(), int(fb.value), int(fn.value)
 
 
+def _check_encode_size(data) -> None:
+    # frontend.cc hash chains store positions as int32 (head4/head3):
+    # past 2^31 every candidate silently fails the distance check and
+    # matching degrades to literals, breaking the <=libz invariant.
+    # Reject loudly; callers should segment >2GiB inputs.
+    if len(data) > 0x7FFFFFFF:
+        raise ValueError(
+            f"encode input of {len(data)} bytes exceeds the native "
+            "matcher's 2GiB limit; segment the input (e.g. "
+            "deflate_raw_parallel) instead")
+
+
 def lz77_match(data, level: int = 6):
     """Native hash-chain lazy matcher. Returns (out_len, dist, lit)."""
     lib = _load()
     data = bytes(data)
+    _check_encode_size(data)
     cap = len(data) + 1
     out_len = np.empty(cap, np.int32)
     dist = np.empty(cap, np.int32)
@@ -732,6 +745,7 @@ def lz77_match_optimal(data, max_chain: int = 128, iters: int = 2,
     found. Returns (out_len, dist, lit)."""
     lib = _load()
     data = bytes(data)
+    _check_encode_size(data)
     cap = len(data) + 1
     out_len = np.empty(cap, np.int32)
     dist = np.empty(cap, np.int32)

@@ -332,8 +332,17 @@ def _ckpt_dumps(obj) -> bytes:
     return b"".join(parts)
 
 
+def _ckpt_u64(blob: bytes, pos: int) -> int:
+    raw = blob[pos:pos + 8]
+    if len(raw) != 8:
+        raise ValueError("truncated checkpoint blob")
+    return int.from_bytes(raw, "little")
+
+
 def _ckpt_de(blob: bytes, pos: int):
     tag = blob[pos:pos + 1]
+    if not tag:
+        raise ValueError("truncated checkpoint blob")
     pos += 1
     if tag == b"N":
         return None, pos
@@ -343,10 +352,12 @@ def _ckpt_de(blob: bytes, pos: int):
         return False, pos
     if tag == b"i":
         n = blob[pos]
-        return int.from_bytes(blob[pos + 1:pos + 1 + n], "little",
-                              signed=True), pos + 1 + n
+        raw = blob[pos + 1:pos + 1 + n]
+        if len(raw) != n:
+            raise ValueError("truncated checkpoint blob")
+        return int.from_bytes(raw, "little", signed=True), pos + 1 + n
     if tag in (b"b", b"s"):
-        n = int.from_bytes(blob[pos:pos + 8], "little")
+        n = _ckpt_u64(blob, pos)
         raw = blob[pos + 8:pos + 8 + n]
         if len(raw) != n:
             raise ValueError("truncated checkpoint blob")
@@ -360,15 +371,15 @@ def _ckpt_de(blob: bytes, pos: int):
         pos += 1
         shape = []
         for _ in range(nd):
-            shape.append(int.from_bytes(blob[pos:pos + 8], "little"))
+            shape.append(_ckpt_u64(blob, pos))
             pos += 8
-        n = int.from_bytes(blob[pos:pos + 8], "little")
+        n = _ckpt_u64(blob, pos)
         raw = blob[pos + 8:pos + 8 + n]
         if len(raw) != n:
             raise ValueError("truncated checkpoint blob")
         return np.frombuffer(raw, dt).reshape(shape).copy(), pos + 8 + n
     if tag == b"l":
-        n = int.from_bytes(blob[pos:pos + 8], "little")
+        n = _ckpt_u64(blob, pos)
         pos += 8
         out = []
         for _ in range(n):
@@ -376,7 +387,7 @@ def _ckpt_de(blob: bytes, pos: int):
             out.append(v)
         return out, pos
     if tag == b"d":
-        n = int.from_bytes(blob[pos:pos + 8], "little")
+        n = _ckpt_u64(blob, pos)
         pos += 8
         out = {}
         for _ in range(n):
@@ -779,12 +790,15 @@ class Compressor:
 
     def __init__(self, format: str = "zlib", level: int = 6,
                  mtime: int = 0, name: str | None = None,
-                 zdict: bytes = b""):
+                 zdict: bytes = b"", wbits: int = 15):
         assert format in ("raw", "zlib", "gzip")
         if zdict and format == "gzip":
             raise ValueError("gzip has no preset-dictionary concept")
+        if not 9 <= wbits <= 15:
+            raise ValueError(f"wbits must be 9..15, got {wbits}")
         self.format = format
         self.level = level
+        self.wbits = wbits
         self._buf = b""
         self._started = False
         self._cksum = 1 if format == "zlib" else 0
@@ -801,7 +815,7 @@ class Compressor:
         if self.format == "raw":
             return b""
         if self.format == "zlib":
-            cmf = 0x78
+            cmf = 0x08 | ((self.wbits - 8) << 4)
             flevel = (0 if self.level < 2 else 1 if self.level < 6
                       else 2 if self.level < 8 else 3)
             flg = (flevel << 6) | (0x20 if self._zdict else 0)
@@ -828,7 +842,8 @@ class Compressor:
         self._total += len(piece)
 
     def compress(self, data: bytes) -> bytes:
-        assert not self._done, "compressor already flushed"
+        if self._done:
+            raise ValueError("compressor already flushed")
         from . import deflate_encode as de
         self._buf += bytes(data)
         out = b"" if self._started else self._header()
@@ -838,7 +853,27 @@ class Compressor:
                               self._buf[self.SEGMENT:])
             self._update_cksum(seg)
             out += de.deflate_raw(seg, self.level, final=False,
-                                  zdict=self._take_zdict())
+                                  zdict=self._take_zdict(),
+                                  max_dist=1 << self.wbits)
+        return out
+
+    def sync_flush(self) -> bytes:
+        """Emit all buffered input as completed non-final blocks ending
+        at a byte-aligned empty stored block (the zlib Z_SYNC_FLUSH /
+        Z_FULL_FLUSH marker, 00 00 FF FF). The stream stays open:
+        compress() continues it. Segments are independently matched, so
+        sync and full flush coincide (the dictionary is already not
+        carried across segments)."""
+        if self._done:
+            raise ValueError("compressor already flushed")
+        from . import deflate_encode as de
+        out = b"" if self._started else self._header()
+        self._started = True
+        seg, self._buf = self._buf, b""
+        self._update_cksum(seg)
+        out += de.deflate_raw(seg, self.level, final=False,
+                              zdict=self._take_zdict(),
+                              max_dist=1 << self.wbits)
         return out
 
     def _take_zdict(self) -> bytes:
@@ -847,12 +882,14 @@ class Compressor:
 
     def flush(self) -> bytes:
         from . import deflate_encode as de
-        assert not self._done
+        if self._done:
+            raise ValueError("compressor already flushed")
         self._done = True
         out = b"" if self._started else self._header()
         self._update_cksum(self._buf)
         out += de.deflate_raw(self._buf, self.level, final=True,
-                              zdict=self._take_zdict())
+                              zdict=self._take_zdict(),
+                              max_dist=1 << self.wbits)
         self._buf = b""
         if self.format == "zlib":
             out += int(self._cksum).to_bytes(4, "big")

@@ -8,10 +8,11 @@ stdlib lacks) — backed by the tbz encoder/decoder. The migration story
 for callers of the reference or of stdlib zlib: change one import.
 
 wbits mapping (zlib manual): 9..15 zlib framing, -9..-15 raw deflate,
-16+9..16+15 gzip, 32+9..32+15 auto-detect zlib/gzip. Window sizes
-below 32KB are accepted but not enforced on encode (tbz always uses
-the full 32KB window; output remains valid for any conformant
-decoder — a 2^n window stream is also a 2^15 window stream).
+16+9..16+15 gzip, 32+9..32+15 auto-detect zlib/gzip, 0 = take the
+window size from the zlib header. Window sizes below 32KB are enforced
+on encode: match distances are capped at 1<<wbits and the zlib CMF
+advertises the matching CINFO, so stdlib decompressobj(wbits) accepts
+the stream.
 """
 
 from __future__ import annotations
@@ -19,7 +20,6 @@ from __future__ import annotations
 import zlib as _z
 
 from . import api as _api
-from . import deflate_encode as _de
 from . import streaming as _streaming
 from .errors import DeflateError as _DeflateError
 
@@ -31,17 +31,42 @@ Z_BEST_SPEED = 1
 Z_NO_COMPRESSION = 0
 MAX_WBITS = 15
 DEFLATED = 8
+DEF_BUF_SIZE = 16384
+DEF_MEM_LEVEL = 8
+
+# flush modes (zlib.h)
+Z_NO_FLUSH = 0
+Z_PARTIAL_FLUSH = 1
+Z_SYNC_FLUSH = 2
+Z_FULL_FLUSH = 3
+Z_FINISH = 4
+Z_BLOCK = 5
+Z_TREES = 6
+
+# strategies (accepted and ignored — tbz has one strategy tier/level)
+Z_DEFAULT_STRATEGY = 0
+Z_FILTERED = 1
+Z_HUFFMAN_ONLY = 2
+Z_RLE = 3
+Z_FIXED = 4
+
+ZLIB_VERSION = _z.ZLIB_VERSION
+ZLIB_RUNTIME_VERSION = _z.ZLIB_RUNTIME_VERSION
 
 
 def _fmt_from_wbits(wbits: int):
+    """-> (format, window_bits). wbits==0 means 'window size from the
+    zlib header' (stdlib accepts it; the decoder sizes itself)."""
+    if wbits == 0:
+        return "zlib", 15
     if 9 <= wbits <= 15:
-        return "zlib"
+        return "zlib", wbits
     if -15 <= wbits <= -9:
-        return "raw"
+        return "raw", -wbits
     if 25 <= wbits <= 31:
-        return "gzip"
+        return "gzip", wbits - 16
     if 41 <= wbits <= 47:
-        return "auto"
+        return "auto", wbits - 32
     raise ValueError(f"invalid wbits {wbits}")
 
 
@@ -55,16 +80,19 @@ def _norm_level(level: int) -> int:
 
 def compress(data, /, level: int = Z_DEFAULT_COMPRESSION,
              wbits: int = MAX_WBITS) -> bytes:
-    return _api.compress(bytes(data), format=_fmt_from_wbits(wbits)
-                         if wbits != MAX_WBITS else "zlib",
-                         level=_norm_level(level))
+    fmt, wb = _fmt_from_wbits(wbits)
+    if fmt == "auto":
+        fmt = "zlib"
+    return _api.compress(bytes(data), format=fmt,
+                         level=_norm_level(level), wbits=wb)
 
 
 def decompress(data, /, wbits: int = MAX_WBITS,
                bufsize: int = 16384) -> bytes:
     del bufsize  # exact two-phase sizing; no growth loop to tune
+    fmt, _ = _fmt_from_wbits(wbits)
     try:
-        return _api.decompress(bytes(data), format=_fmt_from_wbits(wbits))
+        return _api.decompress(bytes(data), format=fmt)
     except _DeflateError as e:
         raise error(str(e)) from e
 
@@ -91,29 +119,48 @@ def adler32_combine(a1: int, a2: int, len2: int) -> int:
 
 class compressobj:
     """zlib.compressobj work-alike (method/memLevel/strategy accepted
-    and ignored — tbz has one strategy tier per level)."""
+    and ignored — tbz has one strategy tier per level).
+
+    flush(mode): Z_NO_FLUSH is a no-op; Z_PARTIAL/Z_SYNC/Z_FULL_FLUSH
+    (and Z_BLOCK/Z_TREES, conservatively byte-aligned) emit pending
+    input ending at a sync point and leave the stream open; Z_FINISH
+    finalizes. Misuse raises zlib.error, matching stdlib."""
 
     def __init__(self, level: int = Z_DEFAULT_COMPRESSION,
                  method: int = DEFLATED, wbits: int = MAX_WBITS,
                  memLevel: int = 8, strategy: int = 0,
                  zdict: bytes | None = None):
         del method, memLevel, strategy
-        fmt = _fmt_from_wbits(wbits)
+        fmt, wb = _fmt_from_wbits(wbits)
+        if fmt == "auto":
+            raise ValueError("compressobj cannot use auto-detect wbits")
         if zdict and fmt == "gzip":
             raise ValueError("cannot use zdict with gzip wbits")
         self._co = _streaming.Compressor(fmt, _norm_level(level),
-                                         zdict=zdict or b"")
+                                         zdict=zdict or b"", wbits=wb)
         self._flushed = False
 
     def compress(self, data) -> bytes:
+        if self._flushed:
+            raise error("Error 90 while compressing data: "
+                        "inconsistent stream state")
         return self._co.compress(bytes(data))
 
-    def flush(self, mode: int = 4) -> bytes:  # Z_FINISH default
-        del mode
-        if self._flushed:
+    def flush(self, mode: int = Z_FINISH) -> bytes:
+        if mode == Z_NO_FLUSH:
             return b""
-        self._flushed = True
-        return self._co.flush()
+        if mode in (Z_PARTIAL_FLUSH, Z_SYNC_FLUSH, Z_FULL_FLUSH,
+                    Z_BLOCK, Z_TREES):
+            if self._flushed:
+                raise error("Error 90 while flushing: "
+                            "inconsistent stream state")
+            return self._co.sync_flush()
+        if mode == Z_FINISH:
+            if self._flushed:
+                return b""
+            self._flushed = True
+            return self._co.flush()
+        raise error(f"Invalid flush mode: {mode}")
 
     def copy(self) -> "compressobj":
         import copy as _copy
@@ -128,8 +175,8 @@ class decompressobj:
     (byte-granular resume, bounded-memory max_length)."""
 
     def __init__(self, wbits: int = MAX_WBITS, zdict: bytes = b""):
-        self._d = _streaming.Decompressor(_fmt_from_wbits(wbits),
-                                          zdict=zdict)
+        fmt, _ = _fmt_from_wbits(wbits)
+        self._d = _streaming.Decompressor(fmt, zdict=zdict)
 
     def decompress(self, data, max_length: int = 0) -> bytes:
         try:

@@ -409,3 +409,21 @@ def test_checkpoint_blob_is_not_pickle():
         s["inflater"][1]["native_state"] = b"\x01" * 8
         with pytest.raises(ValueError):
             tbz.Decompressor.restore(_ckpt_dumps(s))
+
+
+def test_checkpoint_truncated_int_raises():
+    """advisor r3: a blob cut inside an int payload must raise, not
+    silently decode a shorter integer."""
+    import pytest
+    from tbz import streaming as st
+    blob = st._ckpt_dumps({"total": 0x1234567890})
+    # find the int tag and cut inside its payload
+    for cut in range(len(blob) - 1, 0, -1):
+        try:
+            st._ckpt_de(blob[:cut], len(st._CKPT_MAGIC))
+        except (ValueError, IndexError, KeyError):
+            continue
+        # any prefix that decodes without error must decode EQUAL
+        v, _ = st._ckpt_de(blob, len(st._CKPT_MAGIC))
+        v2, _ = st._ckpt_de(blob[:cut], len(st._CKPT_MAGIC))
+        assert v2 == v, f"cut at {cut} silently decoded {v2!r}"

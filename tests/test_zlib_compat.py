@@ -157,3 +157,92 @@ def test_zdict_encode_fuzz_vs_stdlib():
         d = stdzlib.decompressobj(15, hist)
         assert d.decompress(blob) + d.flush() == data, (trial, lvl, dl)
         assert tbz.decompress(blob, "zlib", zdict=hist) == data
+
+
+def test_reduced_window_wbits_header_and_decode():
+    """wbits 9..14 (advisor r3, medium): CMF must advertise the real
+    CINFO and distances must fit the window, so stdlib decompressobj
+    allocating only 1<<wbits accepts the stream."""
+    data = corpus(70, 150000)
+    for wbits in (9, 11, 14):
+        co = tz.compressobj(6, 8, wbits)
+        blob = co.compress(data) + co.flush()
+        assert (blob[0] >> 4) == wbits - 8  # CINFO
+        d = stdzlib.decompressobj(wbits)
+        assert d.decompress(blob) + d.flush() == data
+        # one-shot surface too
+        blob2 = tz.compress(data, 6, wbits)
+        assert (blob2[0] >> 4) == wbits - 8
+        d2 = stdzlib.decompressobj(wbits)
+        assert d2.decompress(blob2) + d2.flush() == data
+    # raw reduced window: decoder with a small raw window accepts
+    co = tz.compressobj(6, 8, -9)
+    raw = co.compress(data) + co.flush()
+    d = stdzlib.decompressobj(-9)
+    assert d.decompress(raw) + d.flush() == data
+
+
+def test_wbits_zero_uses_header_window():
+    data = corpus(71, 20000)
+    blob = stdzlib.compress(data, 6)
+    assert tz.decompress(blob, 0) == data
+    d = tz.decompressobj(0)
+    assert d.decompress(blob) + d.flush() == data
+
+
+def test_flush_sync_modes_differential():
+    """flush(Z_SYNC/Z_FULL/Z_PARTIAL) must leave the stream open
+    (advisor r3): compress after flush continues; stdlib decodes the
+    interleaved whole; each sync flush byte-aligns with 00 00 FF FF."""
+    data = corpus(72, 90000)
+    for mode in (tz.Z_SYNC_FLUSH, tz.Z_FULL_FLUSH, tz.Z_PARTIAL_FLUSH):
+        co = tz.compressobj(6)
+        out = co.compress(data[:40000])
+        piece = co.flush(mode)
+        assert piece.endswith(b"\x00\x00\xff\xff")
+        out += piece
+        out += co.compress(data[40000:])  # must NOT raise
+        out += co.flush()
+        assert stdzlib.decompress(out) == data
+    # Z_NO_FLUSH is a no-op
+    co = tz.compressobj(6)
+    a = co.compress(data)
+    assert co.flush(tz.Z_NO_FLUSH) == b""
+    assert stdzlib.decompress(a + co.flush()) == data
+    # sync-flush-only stream is readable incrementally at the sync point
+    co = tz.compressobj(6)
+    head = co.compress(data[:1000]) + co.flush(tz.Z_SYNC_FLUSH)
+    d = stdzlib.decompressobj()
+    assert d.decompress(head) == data[:1000]  # fully available pre-finish
+
+
+def test_flush_misuse_raises_zlib_error():
+    co = tz.compressobj(6)
+    co.compress(b"abc")
+    co.flush()  # Z_FINISH
+    with pytest.raises(tz.error):
+        co.compress(b"more")
+    with pytest.raises(tz.error):
+        co.flush(tz.Z_SYNC_FLUSH)
+    assert co.flush() == b""  # repeated Z_FINISH: empty, like stdlib
+    with pytest.raises(tz.error):
+        tz.compressobj(6).flush(99)
+
+
+def test_flush_interleave_fuzz_vs_stdlib():
+    import numpy as np
+    rng = np.random.default_rng(7)
+    data = corpus(73, 60000)
+    for trial in range(6):
+        co = tz.compressobj(int(rng.integers(1, 10)))
+        out = b""
+        pos = 0
+        while pos < len(data):
+            take = int(rng.integers(1, 9000))
+            out += co.compress(data[pos:pos + take])
+            pos += take
+            if rng.random() < 0.4:
+                out += co.flush(tz.Z_SYNC_FLUSH)
+        out += co.flush()
+        assert stdzlib.decompress(out) == data[:pos] or \
+            stdzlib.decompress(out) == data  # pos may overshoot len
