@@ -1401,597 +1401,6 @@ extern "C" int32_t tbz_gap_decode(
   return err;
 }
 
-// ---- device span planner --------------------------------------------------
-// Host-side planning pass for the TPU span resolver (ops/resolve_spans.py).
-// Rewrites a token tape into chunked, generation-sorted, fixed-size span
-// batches that the device kernel executes with ONE dynamic row fetch per
-// span (the only fast dynamic-indexing primitive on the target: row
-// gather; element gather is ~100x slower — see memory/ROADMAP):
-//
-//  - overlapping copies (dist < len) are decomposed into doubling pieces
-//    with dist' >= len', so every device span is a plain contiguous copy;
-//  - literal and stored bytes are packed into a side buffer (litbuf) in
-//    output order, then emitted as gen-0 spans sourcing it — the device
-//    kernel has NO special cases;
-//  - every span gets a generation: 1 + max generation over its source
-//    bytes. Within a chunk, spans sorted by generation are mutually
-//    independent inside one batch, so the whole batch vectorizes;
-//  - output is chunked at 64KB with the 32KB window carried between
-//    chunks by the kernel; spans never cross chunk boundaries and their
-//    sources stay within [chunk_start - 32KB, chunk_end).
-//
-// Span coordinates are chunk-local: [0,32K) window, [32K,96K) chunk
-// output, [96K, 96K+66K) the chunk's litbuf slice.
-
-namespace {
-constexpr int kChunkOut = 65536;       // output bytes per device chunk
-constexpr int kSpanMax = 255;          // max span length (fits 512B fetch)
-constexpr int kLitLocalBase = 98304;   // 32K window + 64K chunk
-
-struct Span {
-  int64_t src;  // global output coord (negative = window/dict), or
-                // litbuf offset when lit
-  int64_t dst;
-  int32_t len;
-  int32_t gen;
-  bool lit;
-};
-
-// Phases 1/1b/1c shared by both device planners: expand the token tape
-// into non-overlapping plain-copy spans + packed literal bytes, flatten
-// copy genealogies via the window-limited source redirect, and assign
-// chunk-local generations. With row_chop, spans are additionally split
-// at 128B OUTPUT-row boundaries so every span lands in exactly one
-// output row (the grid kernel's contract); the classic kernel instead
-// caps at kSpanMax and scatters up to three rows per span.
-int32_t build_span_list(const int32_t* out_len, const int32_t* dist,
-                        const int32_t* root_val, int64_t n_tokens,
-                        const uint8_t* input, int64_t input_size,
-                        bool row_chop, uint8_t* litbuf, int64_t lit_cap,
-                        std::vector<Span>& spans, int64_t& lit_used_out,
-                        int64_t& total_out_arg, int32_t& max_gen_out) {
-  // --- phase 1: expand tape into non-overlapping spans + litbuf -------------
-  spans.clear();
-  spans.reserve(size_t(n_tokens) + 1024);
-  int64_t total = 0;
-  for (int64_t i = 0; i < n_tokens; i++) total += out_len[i];
-  uint16_t* gen_byte = total ? new uint16_t[total] : nullptr;
-  int64_t p = 0;
-  int64_t lit_used = 0;
-  int32_t max_gen = 0;
-  int32_t err = OK;
-  // output positions chop at this unit: 128 divides kChunkOut, so the
-  // row chop subsumes the chunk chop
-  const int64_t unit = row_chop ? 128 : kChunkOut;
-  const int64_t span_max = row_chop ? 128 : kSpanMax;
-
-  auto emit_lit_bytes = [&](const uint8_t* data, int64_t n) {
-    // pack bytes; merge with a preceding adjacent literal span; split at
-    // 255 and chunk boundaries
-    while (n > 0 && err == OK) {
-      if (lit_used + 1 > lit_cap) {
-        err = ERR_TAPE_OVERFLOW;
-        return;
-      }
-      int64_t room = unit - (p % unit);
-      if (!spans.empty()) {
-        Span& last = spans.back();
-        if (last.lit && last.dst + last.len == p &&
-            last.src + last.len == lit_used && last.len < span_max &&
-            room > 0 && (p % unit) != 0) {
-          int64_t grow = span_max - last.len;
-          if (grow > room) grow = room;
-          if (grow > n) grow = n;
-          if (lit_used + grow > lit_cap) {
-            err = ERR_TAPE_OVERFLOW;
-            return;
-          }
-          std::memcpy(litbuf + lit_used, data, size_t(grow));
-          last.len += int32_t(grow);
-          lit_used += grow;
-          p += grow;
-          data += grow;
-          n -= grow;
-          continue;
-        }
-      }
-      int32_t t = int32_t(n < span_max ? n : span_max);
-      if (t > room) t = int32_t(room);
-      if (lit_used + t > lit_cap) {
-        err = ERR_TAPE_OVERFLOW;
-        return;
-      }
-      std::memcpy(litbuf + lit_used, data, size_t(t));
-      spans.push_back({lit_used, p, t, 0, true});
-      lit_used += t;
-      p += t;
-      data += t;
-      n -= t;
-    }
-  };
-
-  for (int64_t i = 0; i < n_tokens && err == OK; i++) {
-    int32_t l = out_len[i];
-    int32_t d = dist[i];
-    if (d == 0) {
-      if (root_val[i] & STORED_FLAG) {
-        int64_t off = root_val[i] & (STORED_FLAG - 1);
-        if (off + l > input_size) {
-          err = ERR_TRUNCATED;
-          break;
-        }
-        emit_lit_bytes(input + off, l);
-      } else {
-        uint8_t b = uint8_t(root_val[i]);
-        // single literal byte
-        emit_lit_bytes(&b, 1);
-      }
-      continue;
-    }
-    // match: doubling decomposition to non-overlap, span-max cap, unit split
-    int64_t c = 0;
-    while (c < l && err == OK) {
-      int64_t D = int64_t(d) * (c / d + 1);  // largest multiple of d <= c+d
-      int64_t t = D < span_max ? D : span_max;
-      if (t > l - c) t = l - c;
-      int64_t room = unit - ((p + c) % unit);
-      if (t > room) t = room;
-      int64_t dst = p + c;
-      int64_t src = dst - D;
-      spans.push_back({src, dst, int32_t(t), 0, false});
-      c += t;
-    }
-    p += l;
-  }
-  if (err != OK) {
-    delete[] gen_byte;
-    return err;
-  }
-
-  // --- phase 1b: window-limited source redirect -----------------------------
-  // Every span is a plain copy, so a span whose source range lies wholly
-  // inside an earlier span T can source T's source instead (shift by
-  // T's distance) — legal as long as the new source stays within the
-  // device fetch reach [chunk_start - 32KB, ...). Sources that straddle
-  // a span boundary are SPLIT (budgeted) so the pieces keep flattening.
-  // This collapses copy genealogies (measured: median depth ~200 on
-  // text without it) to a few generations, keeping device batches both
-  // generation-pure and full. Memoized per original span: its final
-  // flattened shift, applied in O(1) when a later span lands inside it.
-  {
-    int64_t ns0 = int64_t(spans.size());
-    auto find_span = [&](int64_t pos) -> int64_t {
-      int64_t lo = 0, hi = ns0 - 1, ans = -1;
-      while (lo <= hi) {
-        int64_t mid = (lo + hi) >> 1;
-        if (spans[size_t(mid)].dst <= pos) {
-          ans = mid;
-          lo = mid + 1;
-        } else {
-          hi = mid - 1;
-        }
-      }
-      return ans;
-    };
-    std::vector<int64_t> memo_src(static_cast<size_t>(ns0), 0);   // flattened source of span i
-    std::vector<uint8_t> memo_ok(size_t(ns0), 0);  // valid (span not split)
-    std::vector<Span> flat;
-    flat.reserve(spans.size() + spans.size() / 2);
-    int64_t split_budget = int64_t(spans.size()) * 3 + 1024;
-    std::vector<Span> pend;
-
-    for (int64_t i = 0; i < ns0; i++) {
-      const Span& s0 = spans[size_t(i)];
-      if (s0.lit) {
-        memo_ok[size_t(i)] = 0;
-        flat.push_back(s0);
-        continue;
-      }
-      int64_t reach_lo = (s0.dst / kChunkOut) * kChunkOut - 32768;
-      Span cur = s0;
-      bool was_split = false;
-      pend.clear();
-      for (;;) {
-        for (int hops = 0; hops < 64; hops++) {
-          if (cur.src < 0) break;  // preset-dictionary window
-          int64_t ti = find_span(cur.src);
-          if (ti < 0) break;
-          const Span& t = spans[size_t(ti)];
-          if (t.lit) break;  // source is gen-0 lit-backed output
-          int64_t t_end = t.dst + t.len;
-          if (cur.src + cur.len <= t_end) {
-            if (memo_ok[size_t(ti)]) {
-              int64_t cand = memo_src[size_t(ti)] + (cur.src - t.dst);
-              if (cand >= reach_lo) {
-                cur.src = cand;
-                break;  // memo target is already flat; T's stop reason
-                        // (lit/window/reach) applies to us too
-              }
-            }
-            int64_t shift = t.dst - t.src;
-            if (cur.src - shift < reach_lo) break;
-            cur.src -= shift;
-          } else if (split_budget > 0) {
-            int64_t l1 = t_end - cur.src;
-            pend.push_back({cur.src + l1, cur.dst + l1,
-                            int32_t(cur.len - l1), 0, false});
-            cur.len = int32_t(l1);
-            split_budget--;
-            was_split = true;
-          } else {
-            break;
-          }
-        }
-        flat.push_back(cur);
-        if (pend.empty()) break;
-        cur = pend.back();
-        pend.pop_back();
-      }
-      if (!was_split) {
-        memo_src[size_t(i)] = flat.back().src;
-        memo_ok[size_t(i)] = 1;
-      }
-    }
-    spans.swap(flat);
-  }
-
-  // --- phase 1c: generations over redirected sources ------------------------
-  // Generations are CHUNK-LOCAL: the device resolves chunks in order and
-  // carries the 32KB window as already-resolved bytes, so source bytes
-  // before the span's own chunk contribute depth 0 — only within-chunk
-  // dependency depth forces batch ordering.
-  if (gen_byte) std::memset(gen_byte, 0, size_t(total) * 2);
-  for (auto& s : spans) {
-    if (s.lit) continue;
-    int64_t chunk_start = (s.dst / kChunkOut) * kChunkOut;
-    int64_t k0 = s.src < chunk_start ? chunk_start - s.src : 0;
-    int32_t g = 0;
-    for (int64_t k = k0; k < s.len; k++) {
-      int32_t gb = gen_byte[s.src + k];
-      if (gb > g) g = gb;
-    }
-    g += 1;
-    s.gen = g;
-    if (g > max_gen) max_gen = g;
-    if (g > 60000) {
-      err = ERR_PLAN_DEPTH;  // pathological depth; caller falls back
-      break;
-    }
-    for (int64_t k = 0; k < s.len; k++) gen_byte[s.dst + k] = uint16_t(g);
-  }
-  delete[] gen_byte;
-  lit_used_out = lit_used;
-  total_out_arg = total;
-  max_gen_out = max_gen;
-  return err;
-}
-
-}  // namespace
-
-struct SpanPlan {
-  int64_t n_tokens_padded;
-  int64_t n_batches;
-  int64_t n_chunks;
-  int64_t lit_bytes;
-  int64_t total_out;
-  int32_t max_gen;
-  int32_t err;
-};
-
-extern "C" int32_t tbz_plan_spans(
-    const int32_t* out_len, const int32_t* dist, const int32_t* root_val,
-    int64_t n_tokens, const uint8_t* input, int64_t input_size,
-    int64_t window_len, int64_t batch_size,
-    int32_t* sp_srclen, int32_t* sp_dst, int64_t tok_cap,
-    int32_t* b_chunk, int32_t* b_first, int32_t* b_litrow, int64_t batch_cap,
-    uint8_t* litbuf, int64_t lit_cap, SpanPlan* plan) {
-  (void)window_len;
-  std::vector<Span> spans;
-  int64_t lit_used = 0, total = 0;
-  int32_t max_gen = 0;
-  int32_t err = build_span_list(out_len, dist, root_val, n_tokens, input,
-                                input_size, /*row_chop=*/false, litbuf,
-                                lit_cap, spans, lit_used, total, max_gen);
-  if (err != OK) {
-    plan->err = err;
-    return err;
-  }
-
-  // --- phase 2: per chunk, stable counting sort by generation, batch ------
-  int64_t n_chunks = total ? (total + kChunkOut - 1) / kChunkOut : 1;
-  int64_t ns = spans.size();
-  int64_t out_i = 0;   // next padded-token slot
-  int64_t nb = 0;      // batches emitted
-  int64_t si = 0;      // span cursor (spans are in dst order)
-  int64_t lit_cursor = 0;  // first litbuf offset not yet claimed
-  std::vector<int32_t> order;
-  for (int64_t ch = 0; ch < n_chunks; ch++) {
-    int64_t lo = si;
-    int64_t chunk_end = (ch + 1) * kChunkOut;
-    while (si < ns && spans[si].dst < chunk_end) si++;
-    int64_t cnt = si - lo;
-    // chunk's litbuf base row (lit spans in [lo,si) are contiguous)
-    int64_t lit_lo = lit_cursor;
-    for (int64_t k = lo; k < si; k++)
-      if (spans[k].lit) {
-        lit_lo = spans[k].src;
-        break;
-      }
-    int64_t lit_row_lo = lit_lo >> 7;
-    for (int64_t k = lo; k < si; k++)
-      if (spans[k].lit) lit_cursor = spans[k].src + spans[k].len;
-    // counting sort by gen (stable)
-    int32_t gmax = 0;
-    for (int64_t k = lo; k < si; k++)
-      if (spans[k].gen > gmax) gmax = spans[k].gen;
-    std::vector<int32_t> cnts(size_t(gmax) + 2, 0);
-    for (int64_t k = lo; k < si; k++) cnts[spans[k].gen]++;
-    std::vector<int32_t> offs(size_t(gmax) + 2, 0);
-    for (int32_t g = 1; g <= gmax + 1; g++) offs[g] = offs[g - 1] + cnts[g - 1];
-    order.assign(size_t(cnt), 0);
-    {
-      std::vector<int32_t> cursor(offs.begin(), offs.end());
-      for (int64_t k = lo; k < si; k++)
-        order[size_t(cursor[spans[k].gen]++)] = int32_t(k - lo);
-    }
-    // emit batches: per gen group, chop into batch_size slots in dst
-    // order, padded to the fixed batch shape
-    int64_t chunk_base_local = ch * kChunkOut - 32768;  // local 0 in global
-    int64_t g_start = 0;
-    bool first_batch_of_chunk = true;
-    for (int32_t g = 0; g <= gmax; g++) {
-      int64_t g_cnt = cnts[g];
-      int64_t gi = 0;
-      while (gi < g_cnt) {
-        if (nb >= batch_cap || out_i + batch_size > tok_cap) {
-          plan->err = ERR_TAPE_OVERFLOW;
-          return ERR_TAPE_OVERFLOW;
-        }
-        b_chunk[nb] = int32_t(ch);
-        b_first[nb] = first_batch_of_chunk ? 1 : 0;
-        b_litrow[nb] = int32_t(lit_row_lo);
-        first_batch_of_chunk = false;
-        int64_t slot = 0;
-        while (slot < batch_size && gi < g_cnt) {
-          const Span& s =
-              spans[size_t(lo + order[size_t(g_start + gi)])];
-          int64_t dst_local = s.dst - chunk_base_local;
-          int64_t src_local =
-              s.lit ? kLitLocalBase + (s.src - (lit_row_lo << 7))
-                    : s.src - chunk_base_local;
-          sp_srclen[out_i + slot] =
-              int32_t(src_local) | (int32_t(s.len) << 18);
-          sp_dst[out_i + slot] = int32_t(dst_local);
-          slot++;
-          gi++;
-        }
-        for (int64_t k = slot; k < batch_size; k++) {
-          sp_srclen[out_i + k] = 0;   // len 0 = padding
-          sp_dst[out_i + k] = 98176;  // max row keeps dst sorted
-        }
-        out_i += batch_size;
-        nb++;
-      }
-      g_start += g_cnt;
-    }
-    if (first_batch_of_chunk) {
-      // chunk with no spans (possible only when total==0); emit a
-      // padding batch so the scan still flushes it
-      if (nb >= batch_cap || out_i + batch_size > tok_cap) {
-        plan->err = ERR_TAPE_OVERFLOW;
-        return ERR_TAPE_OVERFLOW;
-      }
-      b_chunk[nb] = int32_t(ch);
-      b_first[nb] = 1;
-      b_litrow[nb] = 0;
-      for (int64_t k = 0; k < batch_size; k++) {
-        sp_srclen[out_i + k] = 0;
-        sp_dst[out_i + k] = 98176;
-      }
-      out_i += batch_size;
-      nb++;
-    }
-  }
-  plan->n_tokens_padded = out_i;
-  plan->n_batches = nb;
-  plan->n_chunks = n_chunks;
-  plan->lit_bytes = lit_used;
-  plan->total_out = total;
-  plan->max_gen = max_gen;
-  plan->err = OK;
-  return OK;
-}
-
-// ---- grid span planner (round 3) ------------------------------------------
-// Layout for the GRID resolver kernel (ops/resolve_spans.py
-// _resolve_grid_impl): every span targets exactly ONE 128B output row
-// (build_span_list row_chop), and a batch is kGridG ROW-GROUPS x K SLOTS.
-// Each row-group carries a target-row index (g_row), so the kernel sums
-// its K aligned slot contributions densely and lands the whole batch
-// with ONE kGridG-row scatter-add — instead of 3 scatter rows PER SPAN,
-// the round-2 kernel's measured floor (~83M scatter rows/s).
-//
-// Batches are not generation-pure but DEPENDENCY-SAFE: spans are packed
-// in generation order, and a span whose source rows were written by the
-// current (open) batch flushes it first — all reads in a batch see only
-// previous batches' bytes, which is the only ordering the scan needs.
-// A 512-bit row bitmap per open batch makes the check O(rows/span).
-
-namespace {
-constexpr int kGridG = 512;  // row-groups per grid batch
-}
-
-struct GridPlan {
-  int64_t n_slots;     // NB * kGridG * K (capacity actually written)
-  int64_t n_batches;
-  int64_t n_chunks;
-  int64_t lit_bytes;
-  int64_t total_out;
-  int64_t n_spans;     // real spans placed (utilization = n_spans/n_slots)
-  int32_t max_gen;
-  int32_t err;
-};
-
-extern "C" int32_t tbz_plan_spans_grid(
-    const int32_t* out_len, const int32_t* dist, const int32_t* root_val,
-    int64_t n_tokens, const uint8_t* input, int64_t input_size,
-    int64_t window_len, int64_t K,
-    int32_t* sp_srclen, uint8_t* sp_dstoff, int64_t slot_cap,
-    int32_t* g_row, int64_t group_cap,
-    int32_t* b_chunk, int32_t* b_first, int32_t* b_litrow, int64_t batch_cap,
-    uint8_t* litbuf, int64_t lit_cap, GridPlan* plan) {
-  (void)window_len;
-  std::vector<Span> spans;
-  int64_t lit_used = 0, total = 0;
-  int32_t max_gen = 0;
-  int32_t err = build_span_list(out_len, dist, root_val, n_tokens, input,
-                                input_size, /*row_chop=*/true, litbuf,
-                                lit_cap, spans, lit_used, total, max_gen);
-  if (err != OK) {
-    plan->err = err;
-    return err;
-  }
-
-  int64_t n_chunks = total ? (total + kChunkOut - 1) / kChunkOut : 1;
-  int64_t ns = int64_t(spans.size());
-  int64_t si = 0;
-  int64_t nb = 0;       // batches emitted
-  int64_t n_spans = 0;
-
-  // List-scheduled packing (round 3, replacing flush-on-dependency):
-  // every batch of a chunk stays open simultaneously; each span goes to
-  // the earliest batch after the batches that wrote its source BYTES
-  // (byte-granular last-writer map), falling forward only when that
-  // batch's group table is full. This packs many generations into each
-  // batch, so batches-per-chunk drops to ~max(dependency depth,
-  // ceil(groups / kGridG)) — the flush heuristic fragmented to ~4x that
-  // (measured 47 median batches/chunk vs depth 12 on the bench mix).
-  struct GBatch {
-    std::vector<int32_t> rows;     // g_row per group
-    std::vector<int32_t> srclen;   // groups*K slot payloads
-    std::vector<uint8_t> dstoff;
-    std::vector<uint8_t> fill;     // slots used per group
-    int16_t grp_of_row[512];       // row -> open group index, -1 none
-  };
-  std::vector<GBatch> cb;                   // current chunk's batches
-  std::vector<int32_t> last_w(kChunkOut);   // chunk byte -> writer batch
-
-  for (int64_t ch = 0; ch < n_chunks; ch++) {
-    int64_t lo = si;
-    int64_t chunk_end = (ch + 1) * kChunkOut;
-    while (si < ns && spans[si].dst < chunk_end) si++;
-    // chunk's litbuf base row (lit spans in [lo,si) are contiguous)
-    int64_t lit_lo = 0;
-    for (int64_t k = lo; k < si; k++)
-      if (spans[k].lit) {
-        lit_lo = spans[k].src;
-        break;
-      }
-    int64_t lit_row_lo = lit_lo >> 7;
-
-    int64_t chunk_base_local = ch * kChunkOut - 32768;  // local 0 in global
-    cb.clear();
-    std::fill(last_w.begin(), last_w.end(), -1);
-
-    for (int64_t k = lo; k < si; k++) {
-      const Span& s = spans[size_t(k)];
-      int64_t dst_local = s.dst - chunk_base_local;     // [32768, 98304)
-      int32_t drow = int32_t(dst_local >> 7);           // local row 256..767
-      int32_t row9 = drow - 256;                        // 0..511
-      int64_t src_local =
-          s.lit ? kLitLocalBase + (s.src - (lit_row_lo << 7))
-                : s.src - chunk_base_local;
-      // earliest legal batch: after every batch that writes a source
-      // byte inside this chunk's output region (window rows and litbuf
-      // are resolved before any batch runs)
-      int32_t b0 = 0;
-      if (!s.lit) {
-        int64_t a = src_local < 32768 ? 32768 : src_local;
-        int64_t e = src_local + s.len;
-        if (e > 98304) e = 98304;
-        for (int64_t x = a; x < e; x++) {
-          int32_t w = last_w[size_t(x - 32768)];
-          if (w >= b0) b0 = w + 1;
-        }
-      }
-      // place in the earliest batch >= b0 with room for the dst row
-      for (;;) {
-        if (b0 >= int32_t(cb.size())) {
-          cb.emplace_back();
-          std::memset(cb.back().grp_of_row, -1, sizeof(cb.back().grp_of_row));
-        }
-        GBatch& B = cb[size_t(b0)];
-        int32_t g = B.grp_of_row[row9];
-        if (g >= 0 && B.fill[size_t(g)] < K) {
-          B.srclen[size_t(g) * K + B.fill[size_t(g)]] =
-              int32_t(src_local) | (int32_t(s.len) << 18);
-          B.dstoff[size_t(g) * K + B.fill[size_t(g)]] =
-              uint8_t(dst_local & 127);
-          B.fill[size_t(g)]++;
-          break;
-        }
-        if (int64_t(B.rows.size()) < kGridG) {
-          g = int32_t(B.rows.size());
-          B.rows.push_back(drow);
-          B.srclen.resize(B.srclen.size() + size_t(K), 0);
-          B.dstoff.resize(B.dstoff.size() + size_t(K), 0);
-          B.fill.push_back(1);
-          B.grp_of_row[row9] = int16_t(g);
-          B.srclen[size_t(g) * K] =
-              int32_t(src_local) | (int32_t(s.len) << 18);
-          B.dstoff[size_t(g) * K] = uint8_t(dst_local & 127);
-          break;
-        }
-        b0++;  // batch's group table full; fall forward
-      }
-      for (int64_t x = dst_local; x < dst_local + s.len; x++)
-        last_w[size_t(x - 32768)] = b0;
-      n_spans++;
-    }
-    if (cb.empty()) cb.emplace_back();  // empty chunk: one padding batch
-                                        // so the scan still transitions
-
-    // emit the chunk's batches in dependency order
-    if (nb + int64_t(cb.size()) > batch_cap ||
-        (nb + int64_t(cb.size())) * kGridG > group_cap ||
-        (nb + int64_t(cb.size())) * kGridG * K > slot_cap) {
-      plan->err = ERR_TAPE_OVERFLOW;
-      return ERR_TAPE_OVERFLOW;
-    }
-    for (size_t bi = 0; bi < cb.size(); bi++) {
-      const GBatch& B = cb[bi];
-      b_chunk[nb] = int32_t(ch);
-      b_first[nb] = bi == 0 ? 1 : 0;
-      b_litrow[nb] = int32_t(lit_row_lo);
-      int64_t gbase = nb * kGridG;
-      int64_t ng = int64_t(B.rows.size());
-      if (ng)
-        std::memcpy(g_row + gbase, B.rows.data(), size_t(ng) * 4);
-      std::memset(g_row + gbase + ng, 0, size_t(kGridG - ng) * 4);
-      if (ng) {
-        std::memcpy(sp_srclen + gbase * K, B.srclen.data(),
-                    size_t(ng) * size_t(K) * 4);
-        std::memcpy(sp_dstoff + gbase * K, B.dstoff.data(),
-                    size_t(ng) * size_t(K));
-      }
-      std::memset(sp_srclen + (gbase + ng) * K, 0,
-                  size_t(kGridG - ng) * size_t(K) * 4);
-      std::memset(sp_dstoff + (gbase + ng) * K, 0,
-                  size_t(kGridG - ng) * size_t(K));
-      nb++;
-    }
-  }
-  plan->n_slots = nb * kGridG * K;
-  plan->n_batches = nb;
-  plan->n_chunks = n_chunks;
-  plan->lit_bytes = lit_used;
-  plan->total_out = total;
-  plan->n_spans = n_spans;
-  plan->max_gen = max_gen;
-  plan->err = OK;
-  return OK;
-}
-
 // ---- flat span planner (round 3) ------------------------------------------
 // Layout for the FLAT resolver kernel (ops/resolve_spans.py
 // _resolve_flat_impl), designed from the round-3 on-chip profile of the

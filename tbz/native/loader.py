@@ -27,31 +27,6 @@ _lock = threading.Lock()
 _build_failed = False
 
 
-class _SpanPlanC(ctypes.Structure):
-    _fields_ = [
-        ("n_tokens_padded", ctypes.c_int64),
-        ("n_batches", ctypes.c_int64),
-        ("n_chunks", ctypes.c_int64),
-        ("lit_bytes", ctypes.c_int64),
-        ("total_out", ctypes.c_int64),
-        ("max_gen", ctypes.c_int32),
-        ("err", ctypes.c_int32),
-    ]
-
-
-class _GridPlanC(ctypes.Structure):
-    _fields_ = [
-        ("n_slots", ctypes.c_int64),
-        ("n_batches", ctypes.c_int64),
-        ("n_chunks", ctypes.c_int64),
-        ("lit_bytes", ctypes.c_int64),
-        ("total_out", ctypes.c_int64),
-        ("n_spans", ctypes.c_int64),
-        ("max_gen", ctypes.c_int32),
-        ("err", ctypes.c_int32),
-    ]
-
-
 class _FlatPlanC(ctypes.Structure):
     _fields_ = [
         ("n_batches", ctypes.c_int64),
@@ -84,51 +59,6 @@ class FlatPlan:
         self.G = G
         self.K = K
         self.seg_rows = seg_rows
-
-
-class GridPlan:
-    """Host-side grid-resolver plan (frontend.cc tbz_plan_spans_grid):
-    per batch, 512 row-groups x K slots; srclen packs src|len<<18,
-    dstoff is the in-row byte offset, g_row the group's target local
-    row."""
-
-    def __init__(self, srclen, dstoff, g_row, b_chunk, b_first, b_litrow,
-                 litbuf, n_batches, n_chunks, lit_bytes, total_out,
-                 n_spans, max_gen, K):
-        self.srclen = srclen
-        self.dstoff = dstoff
-        self.g_row = g_row
-        self.b_chunk = b_chunk
-        self.b_first = b_first
-        self.b_litrow = b_litrow
-        self.litbuf = litbuf
-        self.n_batches = n_batches
-        self.n_chunks = n_chunks
-        self.lit_bytes = lit_bytes
-        self.total_out = total_out
-        self.n_spans = n_spans
-        self.max_gen = max_gen
-        self.K = K
-
-
-class SpanPlan:
-    """Host-side device plan (see frontend.cc tbz_plan_spans)."""
-
-    def __init__(self, srclen, dst, b_chunk, b_first,
-                 b_litrow, litbuf, n_batches, n_chunks, lit_bytes,
-                 total_out, max_gen, batch):
-        self.srclen = srclen
-        self.dst = dst
-        self.b_chunk = b_chunk
-        self.b_first = b_first
-        self.b_litrow = b_litrow
-        self.litbuf = litbuf
-        self.n_batches = n_batches
-        self.n_chunks = n_chunks
-        self.lit_bytes = lit_bytes
-        self.total_out = total_out
-        self.max_gen = max_gen
-        self.batch = batch
 
 
 class _GapResult(ctypes.Structure):
@@ -247,29 +177,6 @@ def _load():
             ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int32),
             ctypes.POINTER(ctypes.c_int32), ctypes.c_int64,
             ctypes.POINTER(_GapResult)]
-        lib.tbz_plan_spans.restype = ctypes.c_int32
-        lib.tbz_plan_spans.argtypes = [
-            ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int32),
-            ctypes.POINTER(ctypes.c_int32), ctypes.c_int64,
-            ctypes.c_char_p, ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
-            ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int32),
-            ctypes.c_int64,
-            ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int32),
-            ctypes.POINTER(ctypes.c_int32), ctypes.c_int64,
-            ctypes.POINTER(ctypes.c_uint8), ctypes.c_int64,
-            ctypes.POINTER(_SpanPlanC)]
-        lib.tbz_plan_spans_grid.restype = ctypes.c_int32
-        lib.tbz_plan_spans_grid.argtypes = [
-            ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int32),
-            ctypes.POINTER(ctypes.c_int32), ctypes.c_int64,
-            ctypes.c_char_p, ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
-            ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_uint8),
-            ctypes.c_int64,
-            ctypes.POINTER(ctypes.c_int32), ctypes.c_int64,
-            ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int32),
-            ctypes.POINTER(ctypes.c_int32), ctypes.c_int64,
-            ctypes.POINTER(ctypes.c_uint8), ctypes.c_int64,
-            ctypes.POINTER(_GridPlanC)]
         lib.tbz_plan_spans_flat.restype = ctypes.c_int32
         lib.tbz_plan_spans_flat.argtypes = [
             ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int32),
@@ -384,104 +291,6 @@ def gap_decode(data, start_bit: int, lit_lens, dist_lens,
     else:
         ol = di = rv = np.empty(0, np.int32)
     return ol, di, rv, start_bit, merge_idx, hit_eob
-
-
-def plan_spans(tape, input_bytes, window_len: int = 0,
-               batch: int = 1024) -> SpanPlan:
-    """Plan the device span-resolve for a token tape: non-overlap
-    decomposition, literal/stored packing, generation sort, chunk/batch
-    layout (frontend.cc tbz_plan_spans)."""
-    lib = _load()
-    dptr, dlen, _keep = _buf(input_bytes)
-    n = len(tape)
-    ol = np.ascontiguousarray(tape.out_len, np.int32)
-    di = np.ascontiguousarray(tape.dist, np.int32)
-    rv = np.ascontiguousarray(tape.root_val, np.int32)
-    total = int(tape.total_out)
-    tok_cap = 2 * n + total // 64 + 64 * batch
-    while True:
-        batch_cap = tok_cap // batch + total // 65536 + 16
-        tok_cap = batch_cap * batch
-        srclen = np.empty(tok_cap, np.int32)
-        dst = np.empty(tok_cap, np.int32)
-        b_chunk = np.empty(batch_cap, np.int32)
-        b_first = np.empty(batch_cap, np.int32)
-        b_litrow = np.empty(batch_cap, np.int32)
-        litbuf = np.empty(total + 1024, np.uint8)
-        res = _SpanPlanC()
-        err = lib.tbz_plan_spans(
-            _i32p(ol), _i32p(di), _i32p(rv), n, dptr, dlen,
-            window_len, batch,
-            _i32p(srclen), _i32p(dst), tok_cap,
-            _i32p(b_chunk), _i32p(b_first), _i32p(b_litrow), batch_cap,
-            litbuf.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
-            len(litbuf), ctypes.byref(res))
-        if err == ERR_TAPE_OVERFLOW:
-            tok_cap *= 2
-            continue
-        raise_for_code(err)
-        nb = int(res.n_batches)
-        nt = int(res.n_tokens_padded)
-        return SpanPlan(
-            srclen=srclen[:nt], dst=dst[:nt],
-            b_chunk=b_chunk[:nb], b_first=b_first[:nb],
-            b_litrow=b_litrow[:nb], litbuf=litbuf,
-            n_batches=nb, n_chunks=int(res.n_chunks),
-            lit_bytes=int(res.lit_bytes), total_out=int(res.total_out),
-            max_gen=int(res.max_gen), batch=batch)
-
-
-GRID_G = 512  # row-groups per grid batch (frontend.cc kGridG)
-
-
-def plan_spans_grid(tape, input_bytes, window_len: int = 0,
-                    K: int = 4) -> GridPlan:
-    """Plan the GRID device resolve (frontend.cc tbz_plan_spans_grid):
-    row-chopped spans packed into dependency-safe (512 row-group x K
-    slot) batches."""
-    lib = _load()
-    dptr, dlen, _keep = _buf(input_bytes)
-    n = len(tape)
-    ol = np.ascontiguousarray(tape.out_len, np.int32)
-    di = np.ascontiguousarray(tape.dist, np.int32)
-    rv = np.ascontiguousarray(tape.root_val, np.int32)
-    total = int(tape.total_out)
-    # spans ~ tokens + row-boundary splits (~total/128) + doubling;
-    # batches add per-chunk and per-dependency-flush padding
-    batch_cap = ((2 * n + total // 32) // (GRID_G * K)
-                 + 4 * (total // 65536 + 1) + 16)
-    while True:
-        slot_cap = batch_cap * GRID_G * K
-        srclen = np.empty(slot_cap, np.int32)
-        dstoff = np.empty(slot_cap, np.uint8)
-        g_row = np.empty(batch_cap * GRID_G, np.int32)
-        b_chunk = np.empty(batch_cap, np.int32)
-        b_first = np.empty(batch_cap, np.int32)
-        b_litrow = np.empty(batch_cap, np.int32)
-        litbuf = np.empty(total + 1024, np.uint8)
-        res = _GridPlanC()
-        err = lib.tbz_plan_spans_grid(
-            _i32p(ol), _i32p(di), _i32p(rv), n, dptr, dlen,
-            window_len, K,
-            _i32p(srclen),
-            dstoff.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), slot_cap,
-            _i32p(g_row), batch_cap * GRID_G,
-            _i32p(b_chunk), _i32p(b_first), _i32p(b_litrow), batch_cap,
-            litbuf.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
-            len(litbuf), ctypes.byref(res))
-        if err == ERR_TAPE_OVERFLOW:
-            batch_cap *= 2
-            continue
-        raise_for_code(err)
-        nb = int(res.n_batches)
-        return GridPlan(
-            srclen=srclen[:nb * GRID_G * K], dstoff=dstoff[:nb * GRID_G * K],
-            g_row=g_row[:nb * GRID_G],
-            b_chunk=b_chunk[:nb], b_first=b_first[:nb],
-            b_litrow=b_litrow[:nb], litbuf=litbuf,
-            n_batches=nb, n_chunks=int(res.n_chunks),
-            lit_bytes=int(res.lit_bytes), total_out=int(res.total_out),
-            n_spans=int(res.n_spans), max_gen=int(res.max_gen), K=K)
 
 
 def plan_spans_flat(tape, input_bytes, window_len: int = 0,

@@ -119,4 +119,4 @@ def test_large_corpus_zlib_gzip_three_frontends():
     dl = data[:2 * 1000 * 1000]
     dpayload = zlib.compress(dl, 9)[2:-4]
     dres = frontend.tokenize(dpayload, frontend="device")
-    assert rs.resolve_spans_bytes(dres.tape, dpayload, b"") == dl
+    assert rs.resolve_flat_bytes(dres.tape, dpayload, b"") == dl

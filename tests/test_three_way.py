@@ -123,3 +123,33 @@ def test_speculative_tier_truncations():
     fns, payload = _speculative_frontends()
     for cut in (len(payload) - 1, len(payload) * 2 // 3, 64 << 10):
         agree(payload[:cut], fns)
+
+
+def test_tier_boundary_seam():
+    """The dispatch seam itself (tokenize_auto at SPECULATIVE_MIN_BYTES,
+    tokenize_device.py): payloads of exactly floor-1 / floor / floor+1
+    bytes, valid + one bit-flip pass each, must agree across frontends
+    whichever tier the dispatcher picks."""
+    from tbz.ops.tokenize_device import tokenize_auto, SPECULATIVE_MIN_BYTES
+    fns = dict(FRONTENDS)
+    fns["device"] = tokenize_auto
+    rng = random.Random(424242)
+    co = zlib.compressobj(9, zlib.DEFLATED, -15)
+    prefix = co.compress(corpus(910, 48 << 10)) + co.flush(zlib.Z_FULL_FLUSH)
+    assert len(prefix) < SPECULATIVE_MIN_BYTES - 10
+    for target in (SPECULATIVE_MIN_BYTES - 1, SPECULATIVE_MIN_BYTES,
+                   SPECULATIVE_MIN_BYTES + 1):
+        # stored final block sized to land the payload EXACTLY on target
+        m = target - len(prefix) - 5
+        stored = bytes([1]) + m.to_bytes(2, "little") \
+            + (~m & 0xFFFF).to_bytes(2, "little") \
+            + bytes(rng.randrange(256) for _ in range(m))
+        payload = bytearray(prefix + stored)
+        assert len(payload) == target
+        agree(bytes(payload), fns)
+        for _ in range(8):
+            i = rng.randrange(len(payload))
+            b = 1 << rng.randrange(8)
+            payload[i] ^= b
+            agree(bytes(payload), fns)
+            payload[i] ^= b
