@@ -288,8 +288,35 @@ void ensure_fixed() {
   g_fixed_ready = true;
 }
 
-// Parse a dynamic header into tables. Mirrors ../reference.py semantics.
-int read_dynamic(Br& br, Tables* t) {
+// Kraft acceptance test, EXACTLY build_table's rules (over-subscribed
+// bad; incomplete bad unless empty, or a single 1-bit code for
+// litlen/dist). Used by the header scanner so a candidate is accepted
+// iff the real parse would accept it.
+int kraft_check(const uint8_t* lens, int n, int kind) {
+  int counts[kMaxBits + 1] = {0};
+  for (int i = 0; i < n; i++) counts[lens[i]]++;
+  int used = 0, max_len = 0;
+  for (int l = 1; l <= kMaxBits; l++) {
+    used += counts[l];
+    if (counts[l]) max_len = l;
+  }
+  if (used == 0) return OK;
+  int left = 1;
+  for (int l = 1; l <= kMaxBits; l++) {
+    left = (left << 1) - counts[l];
+    if (left < 0) return ERR_BAD_HUFFMAN;
+  }
+  if (left > 0 && (kind == KIND_CODELEN || max_len != 1))
+    return ERR_BAD_HUFFMAN;
+  return OK;
+}
+
+// Parse a dynamic header's code lengths (after BFINAL/BTYPE) and fully
+// validate them — cl code, RLE, missing EOB, litlen/dist Kraft — WITHOUT
+// building the big decode tables. Fills lens[320] (litlen at 0, dist at
+// hlit). Acceptance is identical to read_dynamic's.
+int parse_dynamic_lens(Br& br, uint8_t* lens, int* hlit_out,
+                       int* hdist_out) {
   uint32_t hlit5, hdist5, hclen4;
   if (!br.get(5, &hlit5) || !br.get(5, &hdist5) || !br.get(4, &hclen4))
     return ERR_TRUNCATED;
@@ -306,14 +333,13 @@ int read_dynamic(Br& br, Tables* t) {
                         kEnoughCl);
   if (err) return err;
   int total = hlit + hdist;
-  uint8_t lens[320];
   int i = 0;
   while (i < total) {
     uint32_t op, extra, sym;
     err = decode_symbol(br, cl_table, kClRoot, &op, &extra, &sym);
     if (err) return err;
     if (sym < 16) {
-      lens[i++] = sym;
+      lens[i++] = uint8_t(sym);
     } else if (sym == 16) {
       if (i == 0) return ERR_BAD_CL_REPEAT;
       uint32_t r;
@@ -337,6 +363,21 @@ int read_dynamic(Br& br, Tables* t) {
     }
   }
   if (lens[256] == 0) return ERR_BAD_HUFFMAN;  // missing end-of-block
+  err = kraft_check(lens, hlit, KIND_LITLEN);
+  if (err) return err;
+  err = kraft_check(lens + hlit, hdist, KIND_DIST);
+  if (err) return err;
+  *hlit_out = hlit;
+  *hdist_out = hdist;
+  return OK;
+}
+
+// Parse a dynamic header into tables. Mirrors ../reference.py semantics.
+int read_dynamic(Br& br, Tables* t) {
+  uint8_t lens[320];
+  int hlit, hdist;
+  int err = parse_dynamic_lens(br, lens, &hlit, &hdist);
+  if (err) return err;
   err = build_table(lens, hlit, KIND_LITLEN, kLitRoot, t->lit, kEnoughLit);
   if (err) return err;
   return build_table(lens + hlit, hdist, KIND_DIST, kDistRoot, t->dist,
