@@ -1442,6 +1442,153 @@ extern "C" int32_t tbz_gap_decode(
   return err;
 }
 
+// ---- speculative dynamic-header scanner (round 4) --------------------------
+// rapidgzip-style block-boundary speculation (parallel-inflate
+// literature, PAPERS.md): try every bit position as "BFINAL + BTYPE=10
+// (dynamic) + full header"; a position survives iff parse_dynamic_lens
+// accepts it — acceptance IDENTICAL to the real decoder by
+// construction, so every true dynamic-block header in a valid stream is
+// found, plus rare false positives that the chain walk in
+// ops/batched.py culls. This removes the sequential header dependency
+// that forced one device round trip per block (the reference's decode
+// is strictly sequential, deflate.lisp:640-720; parallelism is ours).
+
+// Little-endian 64-bit window starting at `bit`, zero-padded past end.
+static inline uint64_t peek64(const uint8_t* data, int64_t size,
+                              int64_t bit) {
+  int64_t byte = bit >> 3;
+  int sh = int(bit & 7);
+  if (byte + 9 <= size) {
+    uint64_t lo;
+    std::memcpy(&lo, data + byte, 8);
+    if (!sh) return lo;
+    uint64_t hi8 = data[byte + 8];
+    return (lo >> sh) | (hi8 << (64 - sh));
+  }
+  uint8_t tmp[9] = {0};
+  if (byte < size) std::memcpy(tmp, data + byte, size_t(size - byte));
+  uint64_t lo;
+  std::memcpy(&lo, tmp, 8);
+  if (!sh) return lo;
+  return (lo >> sh) | (uint64_t(tmp[8]) << (64 - sh));
+}
+
+// Cheap pre-filter for a dynamic header at sym bit `hb` (= block start
+// + 3): HLIT/HDIST in range and the code-length code exactly
+// Kraft-complete. Never rejects a position parse_dynamic_lens accepts;
+// rejects ~97-98% of random positions in ~two 64-bit loads.
+static inline bool precode_plausible(const uint8_t* data, int64_t size,
+                                     int64_t hb) {
+  uint64_t w0 = peek64(data, size, hb);
+  uint32_t hlit5 = uint32_t(w0) & 31;
+  uint32_t hdist5 = uint32_t(w0 >> 5) & 31;
+  uint32_t hclen4 = uint32_t(w0 >> 10) & 15;
+  if (hlit5 > 29 || hdist5 > 29) return false;  // parse: TOO_MANY_SYMBOLS
+  int ncl = int(hclen4) + 4;
+  // cl lens: 3*ncl <= 57 bits starting at hb+14; w0 holds 50 of them
+  uint64_t w = w0 >> 14;
+  int counts[8] = {0};
+  int i = 0;
+  for (; i < 16 && i < ncl; i++) counts[(w >> (3 * i)) & 7]++;
+  if (ncl > 16) {
+    uint64_t w1 = peek64(data, size, hb + 14 + 48);
+    for (; i < ncl; i++) counts[(w1 >> (3 * (i - 16))) & 7]++;
+  }
+  int left = 1;
+  for (int l = 1; l <= 7; l++) {
+    left = (left << 1) - counts[l];
+    if (left < 0) return false;  // over-subscribed
+  }
+  return left == 0;  // must be exactly complete (all-zero fails too)
+}
+
+struct ScanHit {
+  int64_t hdr_bit;  // bit index of the BFINAL bit
+  int32_t bfinal;
+  int32_t hlit, hdist;
+  uint8_t lens[320];
+  int32_t sym_off;  // symbol stream starts at hdr_bit + sym_off
+};
+
+// Scan [from_bit, to_bit) for plausible dynamic block headers. Results
+// sorted by hdr_bit. Returns 0, or 1 if more than `cap` hits were found
+// (first `cap` in scan order are returned; caller rescans with a larger
+// cap). want_threads <= 0 means hardware_concurrency.
+extern "C" int32_t tbz_scan_headers(
+    const uint8_t* data, int64_t size, int64_t from_bit, int64_t to_bit,
+    int32_t want_threads, int64_t* hdr_bits, int64_t* sym_bits,
+    int32_t* bfinal_out, int32_t* hlit_out, int32_t* hdist_out,
+    uint8_t* lens_out /* (cap, 320) */, int64_t cap, int64_t* n_found) {
+  int64_t nbits = size * 8;
+  if (to_bit > nbits) to_bit = nbits;
+  if (from_bit < 0) from_bit = 0;
+  *n_found = 0;
+  // need at least 3 header bits + 14 size bits to be worth testing
+  int64_t hi = to_bit - 17;
+  if (hi <= from_bit) return 0;
+
+  unsigned hw = std::thread::hardware_concurrency();
+  int nt = want_threads > 0 ? want_threads : (hw ? int(hw) : 1);
+  int64_t span = hi - from_bit;
+  if (nt > 1 && span / nt < (64 << 10) * 8) nt = std::max<int64_t>(
+      1, span / ((64 << 10) * 8));
+
+  std::vector<std::vector<ScanHit>> hits(nt);
+  auto scan_range = [&](int t, int64_t lo, int64_t up) {
+    std::vector<ScanHit>& out = hits[t];
+    for (int64_t p = lo; p < up; p++) {
+      // BTYPE bits (LSB-first) at p+1, p+2 must be 0,1 => dynamic (2)
+      int64_t q = p + 1;
+      if (((data[q >> 3] >> (q & 7)) & 1) != 0) continue;
+      q = p + 2;
+      if (((data[q >> 3] >> (q & 7)) & 1) != 1) continue;
+      if (!precode_plausible(data, size, p + 3)) continue;
+      ScanHit h;
+      Br br;
+      br.init(data, size, p + 3);
+      if (parse_dynamic_lens(br, h.lens, &h.hlit, &h.hdist) != OK)
+        continue;
+      h.hdr_bit = p;
+      h.bfinal = int32_t((data[p >> 3] >> (p & 7)) & 1);
+      h.sym_off = int32_t(br.bit_position() - p);
+      out.push_back(h);
+    }
+  };
+  if (nt == 1) {
+    scan_range(0, from_bit, hi);
+  } else {
+    std::vector<std::thread> ths;
+    int64_t step = (span + nt - 1) / nt;
+    for (int t = 0; t < nt; t++) {
+      int64_t lo = from_bit + t * step;
+      int64_t up = std::min(hi, lo + step);
+      if (lo >= up) break;
+      ths.emplace_back(scan_range, t, lo, up);
+    }
+    for (auto& th : ths) th.join();
+  }
+  int64_t n = 0;
+  int32_t overflow = 0;
+  for (int t = 0; t < nt; t++) {  // ranges are disjoint and ordered
+    for (const ScanHit& h : hits[t]) {
+      if (n >= cap) {
+        overflow = 1;
+        break;
+      }
+      hdr_bits[n] = h.hdr_bit;
+      sym_bits[n] = h.hdr_bit + h.sym_off;
+      bfinal_out[n] = h.bfinal;
+      hlit_out[n] = h.hlit;
+      hdist_out[n] = h.hdist;
+      std::memcpy(lens_out + n * 320, h.lens, 320);
+      n++;
+    }
+    if (overflow) break;
+  }
+  *n_found = n;
+  return overflow;
+}
+
 // ---- flat span planner (round 3) ------------------------------------------
 // Layout for the FLAT resolver kernel (ops/resolve_spans.py
 // _resolve_flat_impl), designed from the round-3 on-chip profile of the

@@ -195,6 +195,14 @@ def _load():
             ctypes.c_int32,
             ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int32),
             ctypes.POINTER(ctypes.c_int32), ctypes.c_int64]
+        lib.tbz_scan_headers.restype = ctypes.c_int32
+        lib.tbz_scan_headers.argtypes = [
+            ctypes.c_char_p, ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
+            ctypes.c_int32,
+            ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_int64),
+            ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int32),
+            ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_uint8),
+            ctypes.c_int64, ctypes.POINTER(ctypes.c_int64)]
         _lib = lib
         return _lib
 
@@ -291,6 +299,42 @@ def gap_decode(data, start_bit: int, lit_lens, dist_lens,
     else:
         ol = di = rv = np.empty(0, np.int32)
     return ol, di, rv, start_bit, merge_idx, hit_eob
+
+
+def scan_headers(data, from_bit: int = 0, to_bit: int = -1,
+                 threads: int = 0, cap: int = 4096):
+    """Speculatively scan the bit stream for plausible dynamic block
+    headers (frontend.cc tbz_scan_headers). Acceptance is identical to
+    the real header parse, so every true dynamic header is found; rare
+    false positives are culled by the batched stitcher's chain walk.
+
+    Returns (hdr_bits i64, sym_bits i64, bfinal i32, hlit i32, hdist i32,
+    lens u8 (n, 320)), sorted by hdr_bit."""
+    lib = _load()
+    dptr, dlen, _keep = _buf(data)
+    if to_bit < 0:
+        to_bit = dlen * 8
+    while True:
+        hdr = np.empty(cap, np.int64)
+        sym = np.empty(cap, np.int64)
+        bfinal = np.empty(cap, np.int32)
+        hlit = np.empty(cap, np.int32)
+        hdist = np.empty(cap, np.int32)
+        lens = np.empty((cap, 320), np.uint8)
+        n = ctypes.c_int64(0)
+        overflow = lib.tbz_scan_headers(
+            dptr, dlen, from_bit, to_bit, threads,
+            hdr.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+            sym.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+            _i32p(bfinal), _i32p(hlit), _i32p(hdist),
+            lens.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+            cap, ctypes.byref(n))
+        if overflow:
+            cap *= 4
+            continue
+        k = int(n.value)
+        return (hdr[:k], sym[:k], bfinal[:k], hlit[:k], hdist[:k],
+                lens[:k])
 
 
 def plan_spans_flat(tape, input_bytes, window_len: int = 0,
