@@ -1,0 +1,541 @@
+"""Batched multi-block speculative decode: the whole stream in ONE
+device call (round 4).
+
+The round-2/3 production path (ops/speculative.py) pays one device
+round trip per DEFLATE block because block N+1's header position is
+only known after block N's symbol stream is decoded. The native header
+scanner (frontend.cc tbz_scan_headers) removes that dependency: it
+speculatively finds every plausible dynamic block header in the bit
+stream up front (acceptance identical to the real parse), so all
+blocks' tables and lane plans can ship to the device together:
+
+  1. HOST   scan_headers -> candidate headers (true headers always
+            found; rare false positives culled by the chain walk).
+  2. DEVICE one fused call: vmapped flat-table build for all B
+            candidates, lockstep lane decode over ALL lanes of ALL
+            segments (per-lane table index), then an on-device stitch
+            scan (entry-chain merge over lanes) and token compaction.
+            D2H is ~4 bytes/token + O(lanes) metadata instead of the
+            full padded lane arrays (starts dropped entirely).
+  3. HOST   chain walk over blocks: splice compacted segment tokens,
+            gap-decode any unsynced/unscanned span with the native
+            sequential decoder (correctness never depends on
+            speculation), validate distances per block.
+
+Bit-identical to the other frontends (tests/test_three_way.py). The
+reference's decode is strictly sequential (deflate.lisp:640-720); the
+parallel formulation follows the public parallel-inflate literature
+(PAPERS.md) and is original to this codebase.
+"""
+
+from __future__ import annotations
+
+import functools
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .. import constants as C
+from .. import errors as E
+from ..tape import STORED_FLAG, FrontendResult, TokenTape
+from .tokenize_device import (_entry_consts, _peek, build_flat_table,
+                              _e_nbits, _e_op, _e_extra, _e_val)
+
+_TBITS = 15  # flat tables are 2^15 entries (build_flat_table)
+
+# Lanes decode EXT_BITS past their nominal end so consecutive lanes
+# OVERLAP: lane l+1 starts mid-symbol and self-synchronizes onto the
+# true symbol chain within a few symbols; the merge point is the first
+# symbol-start position both lanes visited. The device stitch finds it
+# with a dense (HEAD x TAIL) equality matrix — pure vector compares, no
+# gathers — between lane l's last TAIL starts and lane l+1's first HEAD
+# starts. No intersection (slow convergence, degenerate codes, errors)
+# falls back to host sequential decode, so exactness never depends on
+# synchronization.
+EXT_BITS = 384  # junction convergence: median ~50 bits, p90 ~140,
+                # heavy tail (measured on L9 source-code streams); 384
+                # catches ~99% — misses cost one host-joined junction
+HEAD = 96   # merge candidates tested in the joining lane
+TAIL = 144  # trailing starts carried from the previous lane
+
+# flag bits in the per-lane stitch metadata
+F_MERGED = 1
+F_SKIP = 2
+F_DEAD = 4
+F_EOB = 8
+
+
+def _lanes_multi(data32, lit_flat, dist_flat, tbl_off, lane_starts,
+                 lane_ends, total_bits, L: int, S: int):
+    """Lockstep decode of L lanes x S steps, each lane reading its own
+    segment's tables via a per-lane offset into the flattened (B*2^15)
+    table arrays. Same per-step math as speculative._lanes_decode."""
+    peek_v = jax.vmap(lambda p: _peek(data32, p, 15))
+    peek13 = jax.vmap(lambda p: _peek(data32, p, 13))
+
+    def step(carry, _):
+        bit, active, bad = carry
+        e = lit_flat[tbl_off + peek_v(bit).astype(jnp.int32)]
+        nb = _e_nbits(e)
+        op = _e_op(e)
+        ex = _e_extra(e)
+        p1 = bit + nb
+        ebits = peek13(p1).astype(jnp.int32) & (
+            (1 << jnp.clip(ex, 0, 13)) - 1)
+        length = _e_val(e) + ebits
+        p2 = p1 + jnp.where(op == C.OP_MATCH, ex, 0)
+        de = dist_flat[tbl_off + peek_v(p2).astype(jnp.int32)]
+        dnb = _e_nbits(de)
+        p3 = p2 + jnp.where(op == C.OP_MATCH, dnb, 0)
+        dex = _e_extra(de)
+        debits = peek13(p3).astype(jnp.int32) & (
+            (1 << jnp.clip(dex, 0, 13)) - 1)
+        d = _e_val(de) + debits
+        p4 = p3 + jnp.where(op == C.OP_MATCH, dex, 0)
+
+        is_lit = op == C.OP_LITERAL
+        is_end = op == C.OP_END
+        is_match = op == C.OP_MATCH
+        invalid = (op == C.OP_INVALID) | (is_match &
+                                          (_e_op(de) != C.OP_MATCH))
+        next_bit = jnp.where(is_match, p4, bit + nb)
+        underrun = next_bit > total_bits
+
+        emit = active & ~invalid & ~underrun
+        packed = (jnp.where(emit & ~is_end,
+                            jnp.where(is_lit, 1, length), 0)
+                  | (jnp.where(emit & is_lit, _e_val(e), 0) << 9)
+                  | (jnp.where(emit & is_end, 1, 0) << 17))
+        ys = (jnp.where(emit, bit, -1),
+              packed,
+              jnp.where(emit & is_match, d, 0))
+        bad = bad | (active & (invalid | underrun))
+        crossed = next_bit >= lane_ends
+        active = emit & ~is_end & ~crossed
+        bit = jnp.where(emit, next_bit, bit)
+        return (bit, active, bad), ys
+
+    init = (lane_starts.astype(jnp.int32), jnp.ones(L, jnp.bool_),
+            jnp.zeros(L, jnp.bool_))
+    (exit_bit, _, bad), (starts, packed, dist) = jax.lax.scan(
+        step, init, None, length=S)
+    return starts.T, packed.T, dist.T, exit_bit, ~bad
+
+
+@functools.partial(jax.jit, static_argnames=("L", "S", "B", "n_out"))
+def _batched_kernel(data32, lit_lens, dist_lens, tbl_idx, lane_starts,
+                    lane_ends_ext, seg_id, seg_sym, total_bits,
+                    L: int, S: int, B: int, n_out: int):
+    """Table build + lane decode + stitch + compaction, ONE device call.
+
+    Returns (meta, compact): meta int32[6L + 2B + 1] =
+    [merge_pos | n_valid | flags | resume | exits | out_off |
+     lit_errs | dist_errs | total]; compact int32[n_out + 1] packed
+    tokens (len 9b | field 16b; field = literal byte when len == 1,
+    dist-1 otherwise) in chain order, device-resident — the caller
+    fetches only compact[:total].
+    """
+    lit_c, dist_c, _ = (jnp.asarray(x) for x in _entry_consts())
+    lit_tabs, lit_errs = jax.vmap(
+        lambda ln: build_flat_table(ln, lit_c, 288, True))(lit_lens)
+    dist_tabs, dist_errs = jax.vmap(
+        lambda ln: build_flat_table(ln, dist_c, 32, True))(dist_lens)
+    lit_flat = lit_tabs.reshape(B << _TBITS)
+    dist_flat = dist_tabs.reshape(B << _TBITS)
+    tbl_off = tbl_idx << _TBITS
+
+    starts, packed, dist, exits, ok = _lanes_multi(
+        data32, lit_flat, dist_flat, tbl_off, lane_starts,
+        lane_ends_ext, total_bits, L, S)
+
+    n_syms = jnp.sum(starts >= 0, axis=1).astype(jnp.int32)
+    # a lane is usable if it ended cleanly AND either didn't fill its
+    # tape or actually reached its (extended) lane end (same rule as
+    # the host stitcher in speculative.py)
+    usable = ok & ((n_syms < S) | (exits >= lane_ends_ext))
+    last = jnp.clip(n_syms - 1, 0, S - 1)
+    last_packed = jnp.take_along_axis(packed, last[:, None], 1)[:, 0]
+    has_eob = (n_syms > 0) & (((last_packed >> 17) & 1) == 1)
+    big = jnp.int32(2 ** 31 - 1)
+    starts_s = jnp.where(starts < 0, big, starts)
+    # a lane whose table build failed can't be trusted (host rebuilds
+    # and re-raises); treat as unusable
+    tbl_bad = (lit_errs[tbl_idx] != 0) | (dist_errs[tbl_idx] != 0)
+    usable = usable & ~tbl_bad
+
+    def stitch(carry, x):
+        tail, tail_idx, cur_seg, state = carry
+        (srow, n, use, eob, seg, ssym) = x
+        new_seg = seg != cur_seg
+        state = jnp.where(new_seg, 0, state)
+        # virtual single-element tail for a segment's first lane: the
+        # true entry is its exact start position
+        tail = jnp.where(new_seg,
+                         jnp.full(TAIL, big, jnp.int32).at[0].set(ssym),
+                         tail)
+        tail_idx = jnp.where(new_seg, jnp.zeros(TAIL, jnp.int32),
+                             tail_idx)
+        skip = state != 0
+        # dense head x tail intersection: first common visited position
+        head = srow[:HEAD]
+        eq = (head[:, None] == tail[None, :]) & (tail[None, :] < big) \
+            & (head[:, None] < big)
+        hit_m = jnp.any(eq, axis=1)
+        any_hit = jnp.any(hit_m)
+        m0 = jnp.argmax(hit_m).astype(jnp.int32)
+        k_for_m = jnp.argmax(eq, axis=1).astype(jnp.int32)
+        k0 = k_for_m[m0]
+        cut_prev = jnp.where(any_hit, tail_idx[k0], big)
+        merged = use & ~skip & any_hit & (m0 < n)
+        m0 = jnp.where(merged, m0, 0)
+        cut_prev = jnp.where(merged & ~new_seg, cut_prev, big)
+        dead_now = ~skip & ~merged
+        # handoff: the bit position where this lane's spliced tokens
+        # begin (the host verifies a gap-join lands EXACTLY here)
+        handoff = jnp.where(merged, srow[m0], jnp.int32(-1))
+        state = jnp.where(merged & eob, jnp.int32(2), state)
+        flags = (jnp.where(merged, F_MERGED, 0)
+                 | jnp.where(skip, F_SKIP, 0)
+                 | jnp.where(dead_now, F_DEAD, 0)
+                 | jnp.where(merged & eob, F_EOB, 0))
+        # Next lane's tail: this lane's last TAIL starts at/after its
+        # own merge point. A DEAD lane seeds the tail from its own
+        # speculative chain — lanes converge transitively, so the chain
+        # continues and only the one-junction gap is host-decoded
+        # (verified against the next handoff).
+        base = jnp.clip(n - TAIL, 0, S - TAIL)
+        t_new = jax.lax.dynamic_slice(srow, (base,), (TAIL,))
+        ti_new = base + jnp.arange(TAIL, dtype=jnp.int32)
+        t_new = jnp.where((ti_new >= m0) & (ti_new < n), t_new, big)
+        keep = skip  # post-EOB lanes don't disturb the (unused) tail
+        tail = jnp.where(keep, tail, t_new)
+        tail_idx = jnp.where(keep, tail_idx, ti_new)
+        return ((tail, tail_idx, seg, state),
+                (m0, cut_prev, flags.astype(jnp.int32), handoff))
+
+    init = (jnp.full(TAIL, big, jnp.int32), jnp.zeros(TAIL, jnp.int32),
+            jnp.int32(-1), jnp.int32(0))
+    _, (mpos, cut_prev, flags, handoff) = jax.lax.scan(
+        stitch, init,
+        (starts_s, n_syms, usable, has_eob, seg_id, seg_sym))
+
+    # lane l's valid range ends where lane l+1 takes over (cut), at its
+    # EOB, or at its last symbol
+    cut_next = jnp.concatenate([cut_prev[1:], jnp.array([big])])
+    merged_f = (flags & F_MERGED) != 0
+    end_idx = jnp.minimum(cut_next,
+                          n_syms - jnp.where(has_eob, 1, 0))
+    nv = jnp.where(merged_f, jnp.clip(end_idx - mpos, 0, S), 0)
+
+    off = jnp.cumsum(nv) - nv
+    total = jnp.sum(nv)
+
+    # compact tokens: len 9b | field 16b (field = rv for literals,
+    # dist-1 for matches); chain order = lane order within segments
+    ln = packed & 0x1FF
+    rv = (packed >> 9) & 0xFF
+    field = jnp.where(ln == 1, rv, dist - 1)
+    tok = ln | (field << 9)
+    col = jnp.arange(S, dtype=jnp.int32)[None, :]
+    sel = (col >= mpos[:, None]) & (col < (mpos + nv)[:, None])
+    tgt = jnp.where(sel, off[:, None] + (col - mpos[:, None]),
+                    jnp.int32(n_out))
+    compact = jnp.zeros(n_out + 1, jnp.int32).at[tgt.ravel()].set(
+        tok.ravel(), mode="drop")
+
+    meta = jnp.concatenate([
+        mpos, nv, flags, handoff, exits, off,
+        lit_errs.astype(jnp.int32), dist_errs.astype(jnp.int32),
+        total[None]])
+    return meta, compact
+
+
+def _plan_lanes(sym_bits, seg_ends, chunk_bits):
+    """Lane layout over candidate segments: segment i's lanes tile
+    [sym_bits[i], seg_ends[i]). Returns int32 arrays (starts, ends,
+    seg_id) in global chain order."""
+    starts, ends, seg = [], [], []
+    for i, (s0, s1) in enumerate(zip(sym_bits, seg_ends)):
+        n = max(1, -(-(s1 - s0) // chunk_bits))
+        ls = s0 + np.arange(n, dtype=np.int64) * chunk_bits
+        le = np.minimum(ls + chunk_bits, s1)
+        starts.append(ls)
+        ends.append(le)
+        seg.append(np.full(n, i, np.int32))
+    return (np.concatenate(starts).astype(np.int32),
+            np.concatenate(ends).astype(np.int32),
+            np.concatenate(seg))
+
+
+def _unpack_tokens(toks: np.ndarray):
+    """compact int32 tokens -> (out_len, dist, root_val) int32."""
+    ln = toks & 0x1FF
+    field = toks >> 9
+    is_lit = ln == 1
+    di = np.where(is_lit, 0, field + 1).astype(np.int32)
+    rv = np.where(is_lit, field, 0).astype(np.int32)
+    return ln.astype(np.int32), di, rv
+
+
+_empty = np.empty(0, np.int32)
+
+
+def tokenize_stream_batched(data: bytes, window_len: int = 0,
+                            chunk_bits: int = 2048,
+                            collect_stats: bool = False):
+    """Whole-stream batched speculative tokenize (see module docstring).
+
+    Falls back to ops/speculative.tokenize_stream_speculative when the
+    native scanner is unavailable or the stream has no dynamic-block
+    candidates. Returns FrontendResult bit-identical to the other
+    frontends, or (result, stats) when collect_stats."""
+    from ..bitreader import BitReader
+    from ..errors import DeflateError, ERR_BAD_BLOCK_TYPE, \
+        ERR_STORED_LEN_MISMATCH
+    from .. import reference as R
+    from . import speculative as SP
+
+    data = bytes(data)
+    nbits = len(data) * 8
+    try:
+        from ..native import loader as NL
+        native_ok = NL.available()
+    except ImportError:
+        native_ok = False
+    if not native_ok or nbits >= (1 << 31):
+        res = SP.tokenize_stream_speculative(
+            data, window_len, chunk_bits, collect_stats=collect_stats)
+        return res
+
+    stats = {"scan_ms": 0.0, "kernel_ms": 0.0, "fetch_ms": 0.0,
+             "walk_ms": 0.0, "fetches": 0, "candidates": 0,
+             "blocks": 0, "spliced": 0, "gap_blocks": 0, "gap_syms": 0,
+             "joins": 0}
+
+    t0 = time.perf_counter()
+    hdr, symb, bfin, hlit, hdist, lens = NL.scan_headers(data)
+    stats["scan_ms"] = (time.perf_counter() - t0) * 1e3
+    stats["candidates"] = len(hdr)
+    if len(hdr) == 0:
+        res = SP.tokenize_stream_speculative(
+            data, window_len, chunk_bits, collect_stats=False)
+        return (res, stats) if collect_stats else res
+
+    # --- device plan ------------------------------------------------------
+    Bn = len(hdr)
+    seg_ends = np.append(hdr[1:], nbits)
+    lane_starts, lane_ends, seg_id = _plan_lanes(symb, seg_ends,
+                                                 chunk_bits)
+    Ln = len(lane_starts)
+    L = 1 << max(4, (Ln - 1).bit_length())
+    B = 1 << max(1, (Bn - 1).bit_length())
+    S = max(256, (chunk_bits + EXT_BITS) * 3 // 16)
+    # lanes decode EXT_BITS past their nominal end (overlap merge)
+    lane_ends = lane_ends + EXT_BITS
+    # pad: extra lanes point at segment 0's table, cover nothing
+    pad = L - Ln
+    lane_starts = np.concatenate([lane_starts, np.zeros(pad, np.int32)])
+    lane_ends = np.concatenate([lane_ends, np.zeros(pad, np.int32)])
+    seg_id = np.concatenate([seg_id, np.zeros(pad, np.int32)])
+    tbl_idx = seg_id.copy()
+    seg_sym = np.zeros(L, np.int32)
+    seg_sym[:Ln] = symb[seg_id[:Ln]]
+    lit_pad = np.zeros((B, 288), np.int32)
+    dist_pad = np.zeros((B, 32), np.int32)
+    for i in range(Bn):
+        lit_pad[i, :hlit[i]] = lens[i, :hlit[i]]
+        dist_pad[i, :hdist[i]] = lens[i, hlit[i]:hlit[i] + hdist[i]]
+    n_out = L * S
+
+    t0 = time.perf_counter()
+    data32 = SP.stage_stream_device(data)
+    dev = jax.device_put((jnp.asarray(lit_pad), jnp.asarray(dist_pad),
+                          jnp.asarray(tbl_idx), jnp.asarray(lane_starts),
+                          jnp.asarray(lane_ends), jnp.asarray(seg_id),
+                          jnp.asarray(seg_sym)))
+    meta_d, compact_d = _batched_kernel(
+        data32, *dev, np.int32(nbits), L, S, B, n_out)
+    meta = np.asarray(meta_d)
+    stats["kernel_ms"] = (time.perf_counter() - t0) * 1e3
+    stats["fetches"] = 2  # meta here + compact below
+
+    nv = meta[L:2 * L]
+    flags = meta[2 * L:3 * L]
+    handoff = meta[3 * L:4 * L]
+    exits = meta[4 * L:5 * L]
+    off = meta[5 * L:6 * L]
+    lit_errs = meta[6 * L:6 * L + B]
+    dist_errs = meta[6 * L + B:6 * L + 2 * B]
+    total = int(meta[-1])
+
+    t0 = time.perf_counter()
+    compact = np.asarray(compact_d[:total])
+    stats["fetch_ms"] = (time.perf_counter() - t0) * 1e3
+    all_ol, all_di, all_rv = _unpack_tokens(compact)
+
+    # lanes of each segment (contiguous ranges in lane order)
+    seg_first = np.searchsorted(seg_id[:Ln], np.arange(Bn))
+    seg_last = np.searchsorted(seg_id[:Ln], np.arange(Bn), side="right")
+    hdr_pos = {int(h): i for i, h in enumerate(hdr)}
+
+    # --- host chain walk --------------------------------------------------
+    t0 = time.perf_counter()
+    br = BitReader(data, 0)
+    parts: list = []
+    produced = 0
+
+    def emit_block(ol, di, rv):
+        """Per-block distance validation (mirrors speculative.py's
+        deferred check; the reference checks inline,
+        deflate.lisp:691) + append."""
+        nonlocal produced
+        if len(ol) == 0:
+            return
+        pref = np.cumsum(ol.astype(np.int64)) - ol
+        bad = (di > pref + produced + window_len) & (di > 0)
+        if np.any(bad):
+            E.raise_for_code(E.ERR_BAD_DISTANCE)
+        parts.append((ol, di, rv))
+        produced += int(ol.sum())
+
+    def gap_to_eob(bit, ll, dl):
+        """Native sequential decode to end-of-block; returns end bit."""
+        ol, di, rv, end_bit, _, eob = NL.gap_decode(
+            data, bit, ll, dl, _empty, 1 << 62, cap=1 << 16)
+        if not eob:
+            raise E.TruncatedError(
+                "block symbol stream ended before its end-of-block code")
+        stats["gap_syms"] += len(ol)
+        emit_block(np.asarray(ol, np.int32), np.asarray(di, np.int32),
+                   np.asarray(rv, np.int32))
+        return end_bit
+
+    def gap_join(bit, stop_bit, ll, dl):
+        """Native sequential decode of a dead junction: walk the true
+        chain from `bit` up to `stop_bit` (the next lane's handoff).
+        Returns (landed_exactly, hit_eob, end_bit)."""
+        ol, di, rv, end_bit, _, eob = NL.gap_decode(
+            data, bit, ll, dl, _empty, stop_bit, cap=1 << 16)
+        stats["gap_syms"] += len(ol)
+        if len(ol):
+            emit_block(np.asarray(ol, np.int32), np.asarray(di, np.int32),
+                       np.asarray(rv, np.int32))
+        return end_bit == stop_bit, eob, end_bit
+
+    while True:
+        bfinal = bool(br.bits(1))
+        btype = br.bits(2)
+        if btype == C.BTYPE_RESERVED:
+            raise DeflateError("invalid block type 3", ERR_BAD_BLOCK_TYPE)
+        stats["blocks"] += 1
+        if btype == C.BTYPE_STORED:
+            br.align_to_byte()
+            ln0 = br.bits(16)
+            nlen = br.bits(16)
+            if ln0 != (~nlen & 0xFFFF):
+                raise DeflateError("stored LEN/NLEN mismatch",
+                                   ERR_STORED_LEN_MISMATCH)
+            if ln0:
+                o = br.bit_position() >> 3
+                br.read_bytes_aligned(ln0)
+                parts.append((np.array([ln0], np.int32),
+                              np.array([0], np.int32),
+                              np.array([STORED_FLAG | o], np.int32)))
+                produced += ln0
+        else:
+            hb = br.bit_position() - 3
+            si = hdr_pos.get(hb) if btype == C.BTYPE_DYNAMIC else None
+            if si is None or lit_errs[si] or dist_errs[si]:
+                # static block, scanner miss, or device table failure:
+                # host header parse (authoritative error classes) +
+                # native sequential decode of this block
+                if btype == C.BTYPE_STATIC:
+                    ll = C.FIXED_LITLEN_LENGTHS
+                    dl = C.FIXED_DIST_LENGTHS
+                else:
+                    lns, hl, hd = R._read_dynamic_lens(br)
+                    ll, dl = lns[:hl], lns[hl:]
+                stats["gap_blocks"] += 1
+                end_bit = gap_to_eob(br.bit_position(), ll, dl)
+                br = BitReader(data, end_bit)
+            else:
+                ll = lens[si, :hlit[si]]
+                dl = lens[si, hlit[si]:hlit[si] + hdist[si]]
+                ols, dis, rvs = [], [], []
+
+                def flush():
+                    nonlocal ols, dis, rvs
+                    if ols:
+                        emit_block(np.concatenate(ols),
+                                   np.concatenate(dis),
+                                   np.concatenate(rvs))
+                        ols, dis, rvs = [], [], []
+
+                done = False
+                end_bit = None
+                # last verified true-chain position (start of block)
+                true_pos = int(symb[si])
+                gapping = False  # a dead junction awaits a host join
+                for l in range(int(seg_first[si]), int(seg_last[si])):
+                    f = int(flags[l])
+                    if f & F_SKIP:
+                        continue
+                    if f & F_MERGED:
+                        if gapping:
+                            # host-join the junction: walk the true
+                            # chain to this lane's handoff and verify
+                            # the landing is exact
+                            stats["joins"] += 1
+                            flush()
+                            landed, eob, eb = gap_join(
+                                true_pos, int(handoff[l]), ll, dl)
+                            if eob:
+                                done = True
+                                end_bit = eb
+                                break
+                            if not landed:
+                                # speculative chain was wrong past the
+                                # junction: rest of block sequential
+                                done = True
+                                end_bit = gap_to_eob(eb, ll, dl)
+                                break
+                            gapping = False
+                        stats["spliced"] += 1
+                        a, b = int(off[l]), int(off[l]) + int(nv[l])
+                        if b > a:
+                            ols.append(all_ol[a:b])
+                            dis.append(all_di[a:b])
+                            rvs.append(all_rv[a:b])
+                        true_pos = int(exits[l])
+                        if f & F_EOB:
+                            done = True
+                            end_bit = true_pos
+                            break
+                    else:  # dead junction: join at the next merge
+                        gapping = True
+                flush()
+                if not done:
+                    # block continues past the segment (false candidate
+                    # ahead, capped coverage, or trailing dead lanes):
+                    # finish it sequentially from the last true position
+                    end_bit = gap_to_eob(true_pos, ll, dl)
+                br = BitReader(data, end_bit)
+        if bfinal:
+            break
+
+    if parts:
+        ol = np.concatenate([p[0] for p in parts])
+        di = np.concatenate([p[1] for p in parts])
+        rv = np.concatenate([p[2] for p in parts])
+    else:
+        ol = di = rv = np.zeros(0, np.int32)
+    stats["walk_ms"] = (time.perf_counter() - t0) * 1e3
+    tape = TokenTape(out_len=ol, dist=di, root_val=rv,
+                     total_out=int(ol.sum()))
+    res = FrontendResult(tape=tape, blocks=[],
+                         end_bit=br.bit_position(), finished=True)
+    if collect_stats:
+        return res, stats
+    return res

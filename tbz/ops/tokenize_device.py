@@ -531,12 +531,14 @@ SPECULATIVE_MIN_BYTES = 1 << 16
 
 def tokenize_auto(data: bytes, window_len: int = 0) -> FrontendResult:
     """Device-frontend dispatcher (the 'device' option of
-    frontend.tokenize): large streams decode speculatively (lockstep
-    multi-lane with sequential-fallback stitching, ops/speculative);
-    small ones use the one-symbol-per-iteration while_loop machine."""
+    frontend.tokenize): large streams decode speculatively — batched
+    (all blocks in one device call, ops/batched) when the native header
+    scanner is available, per-block lockstep lanes (ops/speculative)
+    otherwise; small ones use the one-symbol-per-iteration while_loop
+    machine."""
     if len(data) >= SPECULATIVE_MIN_BYTES:
-        from .speculative import tokenize_stream_speculative
-        return tokenize_stream_speculative(bytes(data), window_len)
+        from .batched import tokenize_stream_batched
+        return tokenize_stream_batched(bytes(data), window_len)
     return tokenize_device(data, window_len)
 
 
