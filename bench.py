@@ -224,19 +224,34 @@ def bench_device_e2e(payload: bytes, data: bytes, timeout_s: float = 600.0):
         _enable_compile_cache(jax)
         from tbz import api
         from tbz.utils import config as cfgmod
+        from tbz.utils import profiling
         old = cfgmod.get_config()
         try:
-            # full device pipeline: speculative lane tokenizer (>=64KB)
-            # + flat span resolver, through the public API
+            # full device pipeline: batched speculative tokenizer
+            # (>=64KB) + flat span resolver, through the public API
             cfgmod.set_config(cfgmod.Config(backend="device",
-                                            frontend="device"))
+                                            frontend="device",
+                                            profile=True))
             out = api.decompress(payload, format="raw")
             assert out == data, "device e2e mismatch!"
             ts = []
             for _ in range(2):
+                profiling.metrics.reset()
                 t0 = time.perf_counter()
                 out = api.decompress(payload, format="raw")
                 ts.append(time.perf_counter() - t0)
+            # stage breakdown of the last timed run (audit: which costs
+            # are tunnel round trips vs kernels vs host work)
+            for line in profiling.metrics.report().splitlines():
+                log(f"[bench]   e2e {line}")
+            from tbz.ops.batched import tokenize_stream_batched
+            _, st = tokenize_stream_batched(payload, collect_stats=True)
+            log(f"[bench]   e2e tokenize breakdown: scan {st['scan_ms']:.0f}"
+                f" ms, kernel+meta {st['kernel_ms']:.0f} ms, token fetch "
+                f"{st['fetch_ms']:.0f} ms, walk {st['walk_ms']:.0f} ms; "
+                f"{st['fetches']} fetches, {st['candidates']} candidates, "
+                f"{st['spliced']} lanes spliced, {st['joins']} joins, "
+                f"{st['gap_syms']} host-decoded syms")
             return min(ts)
         finally:
             cfgmod.set_config(old)
@@ -258,43 +273,60 @@ def bench_scaling(per_dev: int):
     bucketing / shard_map dispatch / ordered gather without being
     confounded by virtual devices sharing physical cores (strong
     scaling cannot speed up on one host by construction).
-    Returns (efficiency at the largest in-core point, curve dict)."""
+
+    Each point is the median of 3 in-process reps x 2 subprocess runs
+    (per-rep spread logged); a PURE fixed-work jit control at the same
+    device counts measures the virtual-CPU platform's own ceiling, so
+    the JSON can carry (raw efficiency, platform ceiling, normalized).
+    Returns (efficiency, ceiling, curve dict)."""
     import subprocess
     here = os.path.dirname(os.path.abspath(__file__))
     script = os.path.join(here, "scripts", "scaling_probe.py")
     ncores = os.cpu_count() or 4
     points = [n for n in (1, 2, 4) if n <= ncores]
-    curve = {}
     import shutil
     taskset = shutil.which("taskset")
-    for n in points:
-        try:
-            # pin n cores for n devices — without it, the n=1 point
-            # already uses every core via XLA intra-op parallelism and
-            # the curve measures nothing. Best of two runs per point:
-            # transient co-tenant contention measured a 3-4x outlier on
-            # a single 4-device run.
-            pre = [taskset, "-c", f"0-{n - 1}"] if taskset else []
-            best = None
-            for _ in range(2):
-                out = subprocess.run(
-                    pre + [sys.executable, script, str(n), str(per_dev)],
-                    capture_output=True, timeout=600, text=True)
-                line = out.stdout.strip().splitlines()[-1]
-                t = json.loads(line)["t"]
-                best = t if best is None or t < best else best
-            curve[n] = best
-        except Exception as e:  # noqa: BLE001
-            log(f"[bench] scaling probe n={n} failed "
-                f"({type(e).__name__}: {e})")
-            return None, curve
+
+    def run_point(n, mode):
+        # pin n cores for n devices — without it, the n=1 point
+        # already uses every core via XLA intra-op parallelism and
+        # the curve measures nothing
+        pre = [taskset, "-c", f"0-{n - 1}"] if taskset else []
+        best, reps = None, []
+        for _ in range(2):
+            out = subprocess.run(
+                pre + [sys.executable, script, str(n), str(per_dev),
+                       mode],
+                capture_output=True, timeout=600, text=True)
+            r = json.loads(out.stdout.strip().splitlines()[-1])
+            reps += r.get("reps", [r["t"]])
+            best = r["t"] if best is None or r["t"] < best else best
+        log(f"[bench]   scaling {mode} n={n}: median {best * 1e3:.0f} ms,"
+            f" reps [{', '.join(f'{x * 1e3:.0f}' for x in reps)}] ms")
+        return best
+
+    curve, ctl = {}, {}
+    try:
+        for n in points:
+            curve[n] = run_point(n, "decode")
+        for n in (points[0], points[-1]):
+            ctl[n] = run_point(n, "control")
+    except Exception as e:  # noqa: BLE001
+        log(f"[bench] scaling probe failed ({type(e).__name__}: {e})")
+        return None, None, curve
     log("[bench] sharded-decode weak scaling (virtual CPU devices, "
         f"{per_dev >> 20}MB/device): " +
         "  ".join(f"{n}dev={t * 1000:.0f}ms" for n, t in curve.items()) +
         f"  [{ncores} physical cores]")
     n_top = points[-1]
     eff = curve[1] / curve[n_top] if curve.get(1) else None
-    return eff, curve
+    ceiling = (ctl[points[0]] / ctl[n_top]
+               if ctl.get(points[0]) and ctl.get(n_top) else None)
+    if ceiling is not None:
+        log(f"[bench] platform control (pure jit, same mesh): "
+            f"ceiling {ceiling:.2f}; decode normalized "
+            f"{eff / ceiling:.2f}" if eff else "")
+    return eff, ceiling, curve
 
 
 def bench_encode(data: bytes, level: int = 6):
@@ -346,7 +378,8 @@ def main():
     # subprocess points share this host's cores, and a jax-initialized
     # parent's runtime threads measurably skew the 4-device point
     # (0.46 vs 0.645 measured).
-    scaling_eff, _curve = bench_scaling(min(size, 16 << 20) // 4)
+    scaling_eff, scaling_ceiling, _curve = bench_scaling(
+        min(size, 16 << 20) // 4)
     if scaling_eff is not None:
         log(f"[bench] weak-scaling efficiency (t_1dev / t_4dev, fixed "
             f"per-device work): {scaling_eff:.2f}")
@@ -456,6 +489,11 @@ def main():
         result["encode_mt_MBps_L6"] = round(enc_mt_mbps, 2)
     if scaling_eff is not None:
         result["scaling_efficiency"] = round(scaling_eff, 3)
+    if scaling_ceiling is not None:
+        result["scaling_platform_ceiling"] = round(scaling_ceiling, 3)
+        if scaling_eff is not None:
+            result["scaling_normalized"] = round(
+                scaling_eff / scaling_ceiling, 3)
     if dev_resolve is not None:
         result["device_resolve_GBps"] = round(dev_resolve / 1e9, 3)
     if dev_e2e is not None:
