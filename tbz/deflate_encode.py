@@ -29,15 +29,17 @@ _STATIC_DIST_LENS = C.FIXED_DIST_LENGTHS
 _OPTIMAL_CFG = {4: (32, 1, 48), 5: (64, 1, 96), 6: (160, 1, 160),
                 7: (384, 2, 258), 8: (512, 3, 258), 9: (2048, 3, 258)}
 
-# L6 speed tier: a lighter parse first, accepted only if it still beats
-# libz on the SAME data (the guard re-compresses with zlib — ~4% of our
-# encode time); the heavy _OPTIMAL_CFG[6] parse is the fallback, so the
-# strict <=libz invariant holds by construction. Config swept with the
-# guard in place: (32,1,64) is ~1.6x the (48,1,96) tier at +0.15%
-# bench-mix size (the guard reruns heavy only where fast loses, mainly
-# dense text).
-_FAST6_CFG = (32, 1, 64)
-_FAST6_MIN = 1 << 16
+# Speed tiers (levels 4-9): a lighter parse runs first and is accepted
+# only if it still beats libz at the same level on the SAME data (the
+# guard re-compresses with zlib — a few % of our encode time); the
+# heavy _OPTIMAL_CFG parse is the fallback, so the strict <=libz
+# invariant holds by construction. Tier parameters swept with the guard
+# in place on the bench mix (round 3 for L6; round 4 for the rest):
+# the L9 tier is ~4x the heavy parse at +0.8% size — still ~8% under
+# libz — and the guard reruns heavy only where the tier loses.
+_FAST_TIERS = {4: (16, 1, 32), 5: (24, 1, 48), 6: (32, 1, 64),
+               7: (96, 1, 128), 8: (128, 1, 160), 9: (160, 1, 160)}
+_FAST_MIN = 1 << 16
 
 
 def _cap_match_distances(ol, di, li, raw: bytes, cap: int):
@@ -317,25 +319,26 @@ def deflate_raw(data: bytes, level: int = 6, *, final: bool = True,
     (a zlib Z_FULL_FLUSH sync point) so segments concatenate at byte
     boundaries — the streaming Compressor's chunk primitive.
 
-    At level 6 (one-shot form only — a shared `writer` cannot rewind)
-    a lighter parse runs first and is kept only if it beats libz on
-    this data; otherwise the heavy parse result is used (see _FAST6_CFG
-    — the strict <=libz guarantee never depends on the fast path).
+    At levels 4-9 (one-shot form only — a shared `writer` cannot
+    rewind) a lighter parse runs first and is kept only if it beats
+    libz at the same level on this data; otherwise the heavy parse
+    result is used (see _FAST_TIERS — the strict <=libz guarantee
+    never depends on the fast path).
     """
     data = bytes(data)
-    if (_cfg is None and writer is None and level == 6
-            and max_dist >= 32768 and len(data) >= _FAST6_MIN):
-        fast = deflate_raw(data, 6, final=final, zdict=zdict,
-                           _cfg=_FAST6_CFG)
+    if (_cfg is None and writer is None and level in _FAST_TIERS
+            and max_dist >= 32768 and len(data) >= _FAST_MIN):
+        fast = deflate_raw(data, level, final=final, zdict=zdict,
+                           _cfg=_FAST_TIERS[level])
         if zdict:
-            co = _zlib.compressobj(6, 8, -15, 8, 0, bytes(zdict))
+            co = _zlib.compressobj(level, 8, -15, 8, 0, bytes(zdict))
             guard = len(co.compress(data) + co.flush())
         else:
-            guard = len(_zlib.compress(data, 6)) - 6
+            guard = len(_zlib.compress(data, level)) - 6
         if len(fast) <= guard:
             return fast
-        heavy = deflate_raw(data, 6, final=final, zdict=zdict,
-                            _cfg=_OPTIMAL_CFG[6])
+        heavy = deflate_raw(data, level, final=final, zdict=zdict,
+                            _cfg=_OPTIMAL_CFG[level])
         return heavy if len(heavy) < len(fast) else fast
     w = writer or BitWriter()
 
