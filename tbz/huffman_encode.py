@@ -18,7 +18,9 @@ from .huffman import canonical_codes
 def package_merge_lengths(freqs: np.ndarray, max_len: int) -> np.ndarray:
     """Optimal code lengths (0 for unused symbols), each <= max_len.
 
-    freqs: nonnegative int array over the symbol alphabet.
+    freqs: nonnegative int array over the symbol alphabet. Delegates to
+    the native package-merge when built (identical optimal totals; the
+    numpy form below is the fallback and the differential oracle).
     """
     freqs = np.asarray(freqs, dtype=np.int64)
     used = np.nonzero(freqs > 0)[0]
@@ -31,6 +33,12 @@ def package_merge_lengths(freqs: np.ndarray, max_len: int) -> np.ndarray:
         return lengths
     if (1 << max_len) < n:
         raise ValueError("alphabet too large for length limit")
+    try:
+        from .native import loader
+        if loader.available():
+            return loader.package_merge(freqs, max_len)
+    except ImportError:
+        pass
 
     # Vectorized item representation: weights vector + (items, n) uint8
     # symbol-count matrix (a symbol's final length = how many of the

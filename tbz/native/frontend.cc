@@ -2099,6 +2099,18 @@ void package_merge(const uint64_t* freqs, int n, int limit, uint8_t* lens) {
   }
 }
 
+}  // namespace
+extern "C" {
+// Host-callable package-merge (the encoder's per-block code builder;
+// same construction as ../huffman_encode.py, whose vectorized form
+// still costs ~0.3ms/call in numpy — 2-3 calls per block add up).
+void tbz_package_merge(const uint64_t* freqs, int32_t n, int32_t limit,
+                       uint8_t* lens) {
+  package_merge(freqs, n, limit, lens);
+}
+}  // extern "C"
+namespace {
+
 struct CostModel {
   // costs in bits (scaled x8 for sub-bit stat smoothing not needed; use
   // integer bits from code lengths + extra bits)

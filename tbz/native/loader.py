@@ -195,6 +195,10 @@ def _load():
             ctypes.c_int32,
             ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int32),
             ctypes.POINTER(ctypes.c_int32), ctypes.c_int64]
+        lib.tbz_package_merge.restype = None
+        lib.tbz_package_merge.argtypes = [
+            ctypes.POINTER(ctypes.c_uint64), ctypes.c_int32,
+            ctypes.c_int32, ctypes.POINTER(ctypes.c_uint8)]
         lib.tbz_scan_headers.restype = ctypes.c_int32
         lib.tbz_scan_headers.argtypes = [
             ctypes.c_char_p, ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
@@ -299,6 +303,18 @@ def gap_decode(data, start_bit: int, lit_lens, dist_lens,
     else:
         ol = di = rv = np.empty(0, np.int32)
     return ol, di, rv, start_bit, merge_idx, hit_eob
+
+
+def package_merge(freqs, limit: int) -> np.ndarray:
+    """Optimal length-limited code lengths (C++ package-merge); same
+    contract as huffman_encode.package_merge_lengths."""
+    lib = _load()
+    f = np.ascontiguousarray(freqs, np.uint64)
+    lens = np.zeros(len(f), np.uint8)
+    lib.tbz_package_merge(
+        f.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64)), len(f), limit,
+        lens.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)))
+    return lens.astype(np.int32)
 
 
 def scan_headers(data, from_bit: int = 0, to_bit: int = -1,
