@@ -37,8 +37,11 @@ _OPTIMAL_CFG = {4: (32, 1, 48), 5: (64, 1, 96), 6: (160, 1, 160),
 # in place on the bench mix (round 3 for L6; round 4 for the rest):
 # the L9 tier is ~4x the heavy parse at +0.8% size — still ~8% under
 # libz — and the guard reruns heavy only where the tier loses.
-_FAST_TIERS = {4: (16, 1, 32), 5: (24, 1, 48), 6: (32, 1, 64),
-               7: (96, 1, 128), 8: (128, 1, 160), 9: (160, 1, 160)}
+# 4th element: sparse DP relax (short lengths + breakpoint tops only —
+# safe under the guard; the dense relax is the fallback's job)
+_FAST_TIERS = {4: (16, 1, 32, True), 5: (24, 1, 48, True),
+               6: (32, 1, 64, True), 7: (96, 1, 128, True),
+               8: (128, 1, 160, True), 9: (160, 1, 160, True)}
 _FAST_MIN = 1 << 16
 
 
@@ -106,8 +109,9 @@ def tokenize_for_encode(data: bytes, level: int, _cfg=None,
         from .native import loader
         if loader.available():
             if _cfg is not None:
-                chain, iters, nice = _cfg
-                res = loader.lz77_match_optimal(data, chain, iters, nice)
+                chain, iters, nice, *sp = _cfg
+                res = loader.lz77_match_optimal(data, chain, iters, nice,
+                                                sparse=bool(sp and sp[0]))
             elif level in _OPTIMAL_CFG:
                 chain, iters, nice = _OPTIMAL_CFG[level]
                 res = loader.lz77_match_optimal(data, chain, iters, nice)
@@ -328,13 +332,22 @@ def deflate_raw(data: bytes, level: int = 6, *, final: bool = True,
     data = bytes(data)
     if (_cfg is None and writer is None and level in _FAST_TIERS
             and max_dist >= 32768 and len(data) >= _FAST_MIN):
-        fast = deflate_raw(data, level, final=final, zdict=zdict,
-                           _cfg=_FAST_TIERS[level])
-        if zdict:
-            co = _zlib.compressobj(level, 8, -15, 8, 0, bytes(zdict))
-            guard = len(co.compress(data) + co.flush())
-        else:
-            guard = len(_zlib.compress(data, level)) - 6
+        # the libz guard runs concurrently with the fast parse: both
+        # sides release the GIL (zlib C / ctypes matcher)
+        import concurrent.futures as _cf
+        with _cf.ThreadPoolExecutor(1) as ex:
+            if zdict:
+                def _guard():
+                    co = _zlib.compressobj(level, 8, -15, 8, 0,
+                                           bytes(zdict))
+                    return len(co.compress(data) + co.flush())
+                gf = ex.submit(_guard)
+            else:
+                gf = ex.submit(
+                    lambda: len(_zlib.compress(data, level)) - 6)
+            fast = deflate_raw(data, level, final=final, zdict=zdict,
+                               _cfg=_FAST_TIERS[level])
+            guard = gf.result()
         if len(fast) <= guard:
             return fast
         heavy = deflate_raw(data, level, final=final, zdict=zdict,

@@ -2158,8 +2158,13 @@ extern "C" {
 // so the relax loop computes dist_symbol_of once per breakpoint
 // segment instead of per length (the old per-length lookup was ~30 ops
 // x up to 255 lengths per position on matchy data).
+// sparse: fast-tier relax — only short lengths (3..9) and each
+// breakpoint's top length get DP edges, instead of every length up to
+// `best` (the full relax is the measured cost on matchy data: up to
+// 255 dp writes per position). Loses the occasional mid-length split;
+// callers guard the result against libz and rerun dense on a miss.
 int64_t tbz_match_optimal(const uint8_t* b, int64_t n, int32_t max_chain,
-                          int32_t iters, int32_t nice_len,
+                          int32_t iters, int32_t nice_len, int32_t sparse,
                           int32_t* out_len, int32_t* dist,
                           int32_t* lit, int64_t cap) {
   constexpr int H3BITS = 15, H3SIZE = 1 << H3BITS;
@@ -2344,6 +2349,31 @@ int64_t tbz_match_optimal(const uint8_t* b, int64_t n, int32_t max_chain,
               }
             }
             if (best >= MIN_MATCH) {
+              if (sparse) {
+                // short lengths (the common split points) ...
+                int k = 0;
+                int short_hi = best < 9 ? best : 9;
+                for (int l = MIN_MATCH; l <= short_hi; l++) {
+                  while (k < nbp && bl[k] < l) k++;
+                  if (k >= nbp) break;
+                  uint64_t dc =
+                      base + cm.dist_sym_cost[dist_symbol_of(bd[k])];
+                  uint64_t c = ((dc + cm.len_cost[l]) << 25) |
+                               (uint64_t(l) << 16) | uint64_t(bd[k]);
+                  uint64_t cur = dp[r + l];
+                  dp[r + l] = c < cur ? c : cur;
+                }
+                // ... plus each breakpoint's top length
+                for (int k2 = 0; k2 < nbp; k2++) {
+                  int l = bl[k2];
+                  uint64_t dc =
+                      base + cm.dist_sym_cost[dist_symbol_of(bd[k2])];
+                  uint64_t c = ((dc + cm.len_cost[l]) << 25) |
+                               (uint64_t(l) << 16) | uint64_t(bd[k2]);
+                  uint64_t cur = dp[r + l];
+                  dp[r + l] = c < cur ? c : cur;
+                }
+              } else {
               // relax per breakpoint segment: dist symbol computed once
               int prev_l = MIN_MATCH - 1;
               for (int k = 0; k < nbp; k++) {
@@ -2358,6 +2388,7 @@ int64_t tbz_match_optimal(const uint8_t* b, int64_t n, int32_t max_chain,
                   dp[r + l] = c < cur ? c : cur;
                 }
                 prev_l = hi;
+              }
               }
               // long-run shortcut: inside a small-period run (e.g. a
               // byte or short-pattern repeat) the DP neighborhood

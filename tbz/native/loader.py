@@ -192,7 +192,7 @@ def _load():
         lib.tbz_match_optimal.restype = ctypes.c_int64
         lib.tbz_match_optimal.argtypes = [
             ctypes.c_char_p, ctypes.c_int64, ctypes.c_int32, ctypes.c_int32,
-            ctypes.c_int32,
+            ctypes.c_int32, ctypes.c_int32,
             ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int32),
             ctypes.POINTER(ctypes.c_int32), ctypes.c_int64]
         lib.tbz_package_merge.restype = None
@@ -607,11 +607,12 @@ def lz77_match(data, level: int = 6):
 
 
 def lz77_match_optimal(data, max_chain: int = 128, iters: int = 2,
-                       nice_len: int = 0):
+                       nice_len: int = 0, sparse: bool = False):
     """Cost-model DP parse (shortest path over actual DEFLATE bit costs,
     refined `iters` times against the parse's own entropy stats).
     nice_len > 0 stops each candidate walk once a match that long is
-    found. Returns (out_len, dist, lit)."""
+    found; sparse relaxes only short lengths + breakpoint tops (the
+    guarded fast tiers). Returns (out_len, dist, lit)."""
     lib = _load()
     data = bytes(data)
     _check_encode_size(data)
@@ -620,6 +621,7 @@ def lz77_match_optimal(data, max_chain: int = 128, iters: int = 2,
     dist = np.empty(cap, np.int32)
     lit = np.empty(cap, np.int32)
     n = lib.tbz_match_optimal(data, len(data), max_chain, iters, nice_len,
+                              1 if sparse else 0,
                               _i32p(out_len), _i32p(dist), _i32p(lit), cap)
     assert n >= 0, "matcher capacity overflow (impossible: cap=n+1)"
     return out_len[:n].copy(), dist[:n].copy(), lit[:n].copy()
