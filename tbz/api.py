@@ -65,11 +65,14 @@ def detect_format(data: bytes) -> str:
 
 
 def _decode_body(body: bytes, window: bytes, backend: str,
-                 size_hint: int = 0):
-    """One member's deflate body -> (out, end_bit, finished, body_dev).
+                 size_hint: int = 0, fetch: bool = True):
+    """One member's deflate body ->
+    (out_bytes_or_None, total, end_bit, finished, body_dev).
 
     Host path uses the fused single-pass native inflate; device path
-    tokenizes then resolves on the accelerator. Raises TruncatedError on
+    tokenizes then resolves on the accelerator. fetch=False keeps the
+    resolved output device-resident (out is None; body_dev holds it) —
+    the donated-buffer/on-mesh consumer path. Raises TruncatedError on
     underrun (one-shot semantics)."""
     if backend in ("host", "auto"):
         try:
@@ -78,13 +81,13 @@ def _decode_body(body: bytes, window: bytes, backend: str,
                 with _stage("inflate.host", len(body)):
                     out, end_bit, fin = loader.inflate(
                         body, window=window, size_hint=size_hint)
-                return out, end_bit, fin, None
+                return out, len(out), end_bit, fin, None
         except ImportError:
             pass
         from . import reference
         res = reference.tokenize_host(body, 0, window_len=len(window))
         out = reference.resolve_host(res.tape, body, window)
-        return out, res.end_bit, res.finished, None
+        return out, len(out), res.end_bit, res.finished, None
     with _stage("tokenize", len(body)):
         res = _frontend.tokenize(body, 0, window_len=len(window),
                                  frontend=get_config().frontend)
@@ -118,8 +121,17 @@ def _decode_body(body: bytes, window: bytes, backend: str,
             from .ops import resolve as _r
             out_dev, total = _r.resolve_device(res.tape, body, window)
             dev_body = out_dev[_r.W:]
-    return (bytes(np.asarray(dev_body[:total])), res.end_bit,
-            res.finished, dev_body)
+    out = bytes(np.asarray(dev_body[:total])) if fetch else None
+    return out, int(total), res.end_bit, res.finished, dev_body
+
+
+def _verify_device(kind: str, body_dev, total: int, prev: int) -> int:
+    """Device-resident checksum (only the scalar crosses to host)."""
+    from . import checksums as cs
+    with _stage(f"verify.{kind}.device", total):
+        if kind == "crc32":
+            return int(cs.crc32_device_tail(body_dev, total, prev))
+        return int(cs.adler32_device_tail(body_dev, total, prev))
 
 
 def _verify_device_or_host(kind: str, body_dev, out: bytes, prev: int):
@@ -145,35 +157,46 @@ def _verify_device_or_host(kind: str, body_dev, out: bytes, prev: int):
 def decompress(data, format: str = "auto", *, backend: str | None = None,
                zdict: bytes = b"", verify: bool = True,
                output_size: int | None = None,
-               multi_member: bool = True, with_info: bool = False):
+               multi_member: bool = True, with_info: bool = False,
+               device_resident: bool = False):
     """Decompress a raw deflate / zlib / gzip byte stream.
 
     backend: 'auto' | 'device' | 'host' — where LZ77 resolution and
     checksum verification run (None reads Config.backend / TBZ_BACKEND).
     output_size: known-size fast path hint (api.lisp:36-48 contract) —
     the output buffer is sized exactly.
+    device_resident: return the output as a device-resident uint8
+    jax.Array instead of host bytes — nothing but checksum scalars
+    crosses device->host (the on-mesh-consumer form of the known-size
+    contract, api.lisp:36-48; the sharded analog is
+    parallel/shard.decode_streams_sharded(device_resident=True)).
     """
     data = bytes(data)
+    if device_resident:
+        if backend not in (None, "device"):
+            raise ValueError("device_resident requires the device backend")
+        backend = "device"
     if backend is None:
         backend = get_config().backend
     fmt = detect_format(data) if format == "auto" else format
     members: list[MemberInfo] = []
-    parts: list[bytes] = []
+    parts: list = []
+    fetch = not device_resident
     pos = 0
 
     if fmt == "raw":
         # Raw streams take a preset dictionary unconditionally
         # (zlib.decompressobj(-15, zdict=...) semantics).
-        out, end_bit, finished, _ = _decode_body(
-            data, zdict[-32768:], backend, output_size or 0)
+        out, total, end_bit, finished, body_dev = _decode_body(
+            data, zdict[-32768:], backend, output_size or 0, fetch)
         if not finished:
             raise TruncatedError("deflate stream has no final block")
-        if output_size is not None and len(out) != output_size:
+        if output_size is not None and total != output_size:
             raise DeflateError(
-                f"output size {len(out)} != declared {output_size}")
+                f"output size {total} != declared {output_size}")
         consumed = (end_bit + 7) // 8
-        members.append(MemberInfo("raw", None, len(out), consumed))
-        parts.append(out)
+        members.append(MemberInfo("raw", None, total, consumed))
+        parts.append(out if fetch else body_dev[:total])
         pos = consumed
     elif fmt == "zlib":
         hdr = zlib_fmt.parse_header(data, zdict)
@@ -182,8 +205,8 @@ def decompress(data, format: str = "auto", *, backend: str | None = None,
         # FDICT flag requests it; preloading otherwise would let corrupt
         # too-far distances decode (diverging from zlib's error class).
         window = zdict[-32768:] if hdr.fdict else b""
-        out, end_bit, finished, body_dev = _decode_body(
-            body, window, backend, output_size or 0)
+        out, total, end_bit, finished, body_dev = _decode_body(
+            body, window, backend, output_size or 0, fetch)
         if not finished:
             raise TruncatedError("zlib deflate body truncated")
         end = hdr.data_offset + (end_bit + 7) // 8
@@ -191,28 +214,33 @@ def decompress(data, format: str = "auto", *, backend: str | None = None,
         if verify:
             # RFC 1950: the Adler covers the uncompressed data only — a
             # preset dictionary does not feed it.
-            computed = _verify_device_or_host("adler32", body_dev, out, 1)
+            computed = (_verify_device("adler32", body_dev, total, 1)
+                        if device_resident else
+                        _verify_device_or_host("adler32", body_dev, out, 1))
             zlib_fmt.check_adler(stored, computed)
         pos = end + 4
-        members.append(MemberInfo("zlib", hdr, len(out), pos))
-        parts.append(out)
+        members.append(MemberInfo("zlib", hdr, total, pos))
+        parts.append(out if fetch else body_dev[:total])
     elif fmt == "gzip":
         while True:
             hdr = gzip_fmt.parse_header(data, pos)
             body = data[hdr.data_offset:]
-            out, end_bit, finished, body_dev = _decode_body(
-                body, b"", backend)
+            out, total, end_bit, finished, body_dev = _decode_body(
+                body, b"", backend, 0, fetch)
             if not finished:
                 raise TruncatedError("gzip deflate body truncated")
             end = hdr.data_offset + (end_bit + 7) // 8
             crc, isize = gzip_fmt.read_trailer(data, end)
             if verify:
-                computed = _verify_device_or_host("crc32", body_dev, out, 0)
-                gzip_fmt.check_trailer(crc, computed, isize, len(out))
+                computed = (_verify_device("crc32", body_dev, total, 0)
+                            if device_resident else
+                            _verify_device_or_host("crc32", body_dev,
+                                                   out, 0))
+                gzip_fmt.check_trailer(crc, computed, isize, total)
             member_end = end + 8
-            members.append(MemberInfo("gzip", hdr, len(out),
+            members.append(MemberInfo("gzip", hdr, total,
                                       member_end - pos))
-            parts.append(out)
+            parts.append(out if fetch else body_dev[:total])
             pos = member_end
             if not multi_member:
                 break
@@ -221,10 +249,16 @@ def decompress(data, format: str = "auto", *, backend: str | None = None,
     else:
         raise DeflateError(f"unknown format {fmt!r}", ERR_HEADER)
 
-    result = b"".join(parts)
-    if output_size is not None and fmt != "raw" and len(result) != output_size:
+    if device_resident:
+        import jax.numpy as jnp
+        result = parts[0] if len(parts) == 1 else jnp.concatenate(parts)
+        total_len = int(sum(m.output_size for m in members))
+    else:
+        result = b"".join(parts)
+        total_len = len(result)
+    if output_size is not None and fmt != "raw" and total_len != output_size:
         raise DeflateError(
-            f"output size {len(result)} != declared {output_size}")
+            f"output size {total_len} != declared {output_size}")
     if with_info:
         return result, StreamInfo(fmt, members, pos, data[pos:])
     return result

@@ -9,6 +9,8 @@
 //
 // Build: g++ -O3 -shared -fPIC -o libtbz.so frontend.cc
 
+#include <sys/mman.h>
+
 #include <algorithm>
 #include <atomic>
 #include <cstdint>
@@ -53,7 +55,12 @@ enum {
 };
 
 // ---- packed table entries (mirror ../constants.py) ------------------------
-enum { OP_LITERAL = 0, OP_MATCH = 1, OP_END = 2, OP_INVALID = 3, OP_LINK = 4 };
+// OP_LIT2 is a C++-inflate-local extension: two fused literals in one
+// root-table entry (val = b0 | b1<<8), produced by fuse_lit_pairs and
+// consumed only by inflate_core — never by the tokenizer/gap decoder,
+// whose tables stay unfused, so the shared entry contract is unchanged.
+enum { OP_LITERAL = 0, OP_MATCH = 1, OP_END = 2, OP_INVALID = 3, OP_LINK = 4,
+       OP_LIT2 = 5 };
 constexpr uint32_t kInvalidEntry = 15u | (uint32_t(OP_INVALID) << 4);
 
 inline uint32_t pack_entry(uint32_t op, uint32_t nbits, uint32_t extra,
@@ -71,8 +78,11 @@ constexpr int kMaxBits = 15;
 // almost never. 2048 is a generous bound over the exact ENOUGH (1332
 // for 286 symbols, root 10; the classic 852 is the root-9 figure the
 // Python tables keep, constants.py).
-constexpr int kLitRoot = 10, kDistRoot = 6, kClRoot = 7;
-constexpr int kEnoughLit = 2048, kEnoughDist = 592, kEnoughCl = 128;
+// Root 12 (round 4, was 10): two short literal codes (L1+L2 <= 12)
+// fuse into one table entry for the inflate fast loop — common on text
+// where frequent literals sit at 4-6 bits. LINK hops stay negligible.
+constexpr int kLitRoot = 12, kDistRoot = 6, kClRoot = 7;
+constexpr int kEnoughLit = 6144, kEnoughDist = 592, kEnoughCl = 128;
 constexpr int STORED_FLAG = 1 << 30;
 
 const uint16_t kLenBase[29] = {3, 4, 5, 6, 7, 8, 9, 10, 11, 13, 15, 17, 19,
@@ -145,7 +155,9 @@ int build_table(const uint8_t* lens, int n, int kind, int root,
     next_code[l] = code;
   }
   // first pass: short codes + discover subtable widths
-  int sub_width[1 << 10];  // indexed by root prefix; root <= 10
+  static_assert(kLitRoot <= 12 && kDistRoot <= 12 && kClRoot <= 12,
+                "prefix arrays sized for root <= 12");
+  int sub_width[1 << 12];  // indexed by root prefix
   for (int i = 0; i < (1 << root); i++) sub_width[i] = 0;
   uint32_t codes_of[320];
   for (int sym = 0; sym < n; sym++) {
@@ -159,7 +171,7 @@ int build_table(const uint8_t* lens, int n, int kind, int root,
     }
   }
   // allocate subtables, emit link entries
-  int sub_base[1 << 10];
+  int sub_base[1 << 12];
   int off = 1 << root;
   for (int p = 0; p < (1 << root); p++) {
     if (!sub_width[p]) continue;
@@ -405,6 +417,14 @@ int32_t tbz_inflate_alloc(const uint8_t* data, int64_t size,
   int64_t cap = size_hint > 0 ? size_hint + 16 : size * 4 + (1 << 16);
   uint8_t* out = (uint8_t*)malloc(cap);
   if (!out) return ERR_TAPE_OVERFLOW;
+#ifdef MADV_HUGEPAGE
+  // big outputs: soft-fault 2MB pages instead of ~cap/4096 small ones
+  // (measured: the 96MB single-stream path is fault-bound, not decode-
+  // bound — per-thread rate on warm small buffers is ~40% higher)
+  if (cap >= (2 << 20))
+    madvise((void*)(((uintptr_t)out + 4095) & ~uintptr_t(4095)),
+            size_t(cap - 4096), MADV_HUGEPAGE);
+#endif
   int32_t err = inflate_core(data, size, start_bit, window, window_len,
                              &out, &cap, out_len, end_bit, finished, 0);
   *out_ptr = out;
@@ -977,6 +997,27 @@ int32_t tbz_resolve(const uint8_t* data, int64_t data_size,
 // the spirit of %copy-history's specialization, deflate.lisp:244-335).
 // Output buffer grows geometrically (api.lisp:49-65 contract).
 
+// Post-pass on a freshly built litlen table: where a root index decodes
+// a literal whose code leaves room for a SECOND complete literal code
+// within the root bits, replace the entry with a fused OP_LIT2 pair.
+// Reads from a snapshot so fusion order cannot chain.
+static void fuse_lit_pairs(uint32_t* t) {
+  constexpr int R = kLitRoot;
+  static thread_local uint32_t snap[1 << R];
+  std::memcpy(snap, t, sizeof(snap));
+  for (uint32_t idx = 0; idx < (1u << R); idx++) {
+    uint32_t e = snap[idx];
+    if (e_op(e) != OP_LITERAL) continue;
+    int l1 = e_nbits(e);
+    // entry at (idx >> l1) has its high l1 bits zero; it is the right
+    // continuation iff its code fits the remaining root bits
+    uint32_t e2 = snap[idx >> l1];
+    if (e_op(e2) != OP_LITERAL || e_nbits(e2) > R - l1) continue;
+    t[idx] = pack_entry(OP_LIT2, uint32_t(l1 + e_nbits(e2)), 0,
+                        e_val(e) | (e_val(e2) << 8));
+  }
+}
+
 static int32_t inflate_core(const uint8_t* data, int64_t size,
                             int64_t start_bit, const uint8_t* window,
                             int64_t window_len, uint8_t** out_ptr,
@@ -1051,7 +1092,7 @@ static int32_t inflate_core(const uint8_t* data, int64_t size,
     const uint32_t* lit_t;
     const uint32_t* dist_t;
     if (btype == 1) {
-      lit_t = g_fixed.lit;
+      lit_t = g_fixed.lit;  // fixed lits are 8-9 bits: nothing fuses
       dist_t = g_fixed.dist;
     } else {
       err = read_dynamic(br, &dyn);
@@ -1059,6 +1100,7 @@ static int32_t inflate_core(const uint8_t* data, int64_t size,
         if (err == ERR_TRUNCATED) br.init(data, size, block_start);
         goto done;
       }
+      fuse_lit_pairs(dyn.lit);
       lit_t = dyn.lit;
       dist_t = dyn.dist;
     }
@@ -1069,19 +1111,30 @@ static int32_t inflate_core(const uint8_t* data, int64_t size,
       // while >=48 bits remain (a full worst-case token's budget).
       if (br.pos + 8 <= br.n && pos + 300 + 16 <= cap) {
         br.fill();
-        uint32_t e;
+        uint32_t e, eop;
         for (;;) {
           e = lit_t[uint32_t(br.buf) & ((1u << kLitRoot) - 1)];
           if (e_op(e) == OP_LINK)
             e = lit_t[e_val(e) +
                       ((uint32_t(br.buf) >> kLitRoot) &
                        ((1u << e_extra(e)) - 1))];
-          if (e_op(e) != OP_LITERAL) break;
-          br.drop(e_nbits(e));
-          out[pos++] = uint8_t(e_val(e));
+          eop = e_op(e);
+          if (eop == OP_LIT2) {
+            br.drop(e_nbits(e));
+            uint32_t v = e_val(e);
+            out[pos] = uint8_t(v);
+            out[pos + 1] = uint8_t(v >> 8);
+            pos += 2;
+          } else if (eop == OP_LITERAL) {
+            br.drop(e_nbits(e));
+            out[pos++] = uint8_t(e_val(e));
+          } else {
+            break;
+          }
           if (br.nbits < 48 || pos + 300 + 16 > cap) break;
         }
-        if (e_op(e) == OP_LITERAL) continue;  // burst ended on bits/space
+        if (eop == OP_LITERAL || eop == OP_LIT2)
+          continue;  // burst ended on bits/space
         uint32_t op = e_op(e);
         if (op == OP_END) {
           br.drop(e_nbits(e));
@@ -1149,7 +1202,15 @@ static int32_t inflate_core(const uint8_t* data, int64_t size,
           std::memset(out + pos, out[src], len);
           pos += len;
         } else {
-          for (int64_t k = 0; k < len; k++) out[pos + k] = out[src + k];
+          // 1 < d < 8: seed one period, then double it (each memcpy's
+          // source range [pos, pos+filled) never overlaps its target)
+          for (int64_t k = 0; k < d; k++) out[pos + k] = out[src + k];
+          int64_t filled = d;
+          while (filled < len) {
+            int64_t take = filled < len - filled ? filled : len - filled;
+            std::memcpy(out + pos + filled, out + pos, size_t(take));
+            filled += take;
+          }
           pos += len;
         }
         continue;
@@ -1164,12 +1225,13 @@ static int32_t inflate_core(const uint8_t* data, int64_t size,
         goto done;
       }
       if (op == OP_END) break;
-      if (op == OP_LITERAL) {
-        if (!ensure(1)) {
+      if (op == OP_LITERAL || op == OP_LIT2) {
+        if (!ensure(op == OP_LIT2 ? 2 : 1)) {
           err = ERR_TAPE_OVERFLOW;
           goto done;
         }
         out[pos++] = uint8_t(val);
+        if (op == OP_LIT2) out[pos++] = uint8_t(val >> 8);
         continue;
       }
       uint32_t ebits = 0;

@@ -184,3 +184,31 @@ def test_decompress_into_buffer():
     buf = bytearray(10000)
     assert api.decompress_into(body, buf, "raw", zdict=zd) == 10000
     assert bytes(buf) == data[:10000]
+
+
+def test_decompress_device_resident():
+    """device_resident=True returns a device-resident uint8 array with
+    no output D2H — the api.lisp:36-48 known-size contract for on-mesh
+    consumers (only checksum scalars cross when verify=True)."""
+    import jax
+    import numpy as np
+    data = corpus(70, 120000)
+    for fmt, payload in (("zlib", zlib.compress(data, 9)),
+                         ("gzip", _gzip.compress(data, 9)),
+                         ("raw", zlib.compress(data, 9)[2:-4])):
+        dev = api.decompress(payload, format=fmt, device_resident=True)
+        assert hasattr(dev, "device")  # a jax array, still on device
+        assert bytes(np.asarray(dev)) == data
+    # multi-member gzip concatenates on device
+    mm = _gzip.compress(data[:50000], 6) + _gzip.compress(data[50000:], 6)
+    dev = api.decompress(mm, format="gzip", device_resident=True)
+    assert bytes(np.asarray(dev)) == data
+    # zero device->host transfers with verification off (with it on,
+    # exactly the checksum scalars cross — still no output fetch)
+    with jax.transfer_guard_device_to_host("disallow"):
+        api.decompress(zlib.compress(data, 6), format="zlib",
+                       device_resident=True, verify=False)
+    # host backend is refused
+    with pytest.raises(ValueError):
+        api.decompress(zlib.compress(data, 6), backend="host",
+                       device_resident=True)
