@@ -71,26 +71,45 @@ def _lanes_multi(data32, lit_flat, dist_flat, tbl_off, lane_starts,
                  lane_ends, total_bits, L: int, S: int):
     """Lockstep decode of L lanes x S steps, each lane reading its own
     segment's tables via a per-lane offset into the flattened (B*2^15)
-    table arrays. Same per-step math as speculative._lanes_decode."""
-    peek_v = jax.vmap(lambda p: _peek(data32, p, 15))
-    peek13 = jax.vmap(lambda p: _peek(data32, p, 13))
+    table arrays. Same per-step math as speculative._lanes_decode, but
+    the whole symbol (code + extra + dist code + dist extra, <= 63 bits
+    past the symbol start) is read from ONE 3-word window fetch — 3
+    data gathers + 2 table gathers per lane-step instead of 10 (each
+    _peek is 2 gathers; in-loop gathers are the measured kernel cost,
+    memory/env-axon-tpu.md)."""
 
     def step(carry, _):
         bit, active, bad = carry
-        e = lit_flat[tbl_off + peek_v(bit).astype(jnp.int32)]
+        wi = (bit >> 5).astype(jnp.int32)
+        w0 = data32[wi]
+        w1 = data32[wi + 1]
+        w2 = data32[wi + 2]
+
+        def peek_at(p, n):
+            # p in [bit, bit+48], n <= 15: the needed bits live in words
+            # wi..wi+2; the second word's contribution is masked out
+            # whenever it would have been word 3 (off <= 17 there).
+            s = (p >> 5) - wi
+            off = (p & 31).astype(jnp.uint32)
+            a = jnp.where(s == 0, w0, jnp.where(s == 1, w1, w2))
+            b = jnp.where(s == 0, w1, w2)
+            hi = jnp.where(off > 0, b << ((32 - off) & 31), jnp.uint32(0))
+            return ((a >> off) | hi) & jnp.uint32((1 << n) - 1)
+
+        e = lit_flat[tbl_off + peek_at(bit, 15).astype(jnp.int32)]
         nb = _e_nbits(e)
         op = _e_op(e)
         ex = _e_extra(e)
         p1 = bit + nb
-        ebits = peek13(p1).astype(jnp.int32) & (
+        ebits = peek_at(p1, 13).astype(jnp.int32) & (
             (1 << jnp.clip(ex, 0, 13)) - 1)
         length = _e_val(e) + ebits
         p2 = p1 + jnp.where(op == C.OP_MATCH, ex, 0)
-        de = dist_flat[tbl_off + peek_v(p2).astype(jnp.int32)]
+        de = dist_flat[tbl_off + peek_at(p2, 15).astype(jnp.int32)]
         dnb = _e_nbits(de)
         p3 = p2 + jnp.where(op == C.OP_MATCH, dnb, 0)
         dex = _e_extra(de)
-        debits = peek13(p3).astype(jnp.int32) & (
+        debits = peek_at(p3, 13).astype(jnp.int32) & (
             (1 << jnp.clip(dex, 0, 13)) - 1)
         d = _e_val(de) + debits
         p4 = p3 + jnp.where(op == C.OP_MATCH, dex, 0)
