@@ -119,27 +119,39 @@ def bench_multistream(data: bytes, n_streams: int, threads: int,
 
 
 def bench_device_verify(out: bytes, iters: int, timeout_s: float = 120.0):
-    """H2D + device CRC verify; returns (crc, seconds) or None on device
-    trouble (watchdog)."""
+    """Device CRC kernel rate via the RESIDENT-data two-size slope (the
+    per-call H2D through the ~50 MB/s tunnel is an environment artifact;
+    round-3 verdict: the old H2D-inclusive number was pure tunnel noise
+    drifting round-over-round). Returns (crc_at_big, slope_GBps, t_small,
+    t_big) or None on device trouble (watchdog). CRC correctness is
+    asserted by the caller against zlib."""
 
     def run():
         import jax
         _enable_compile_cache(jax)
+        import jax.numpy as jnp
         from tbz import checksums as cs
-        n = len(out)
-        N = 1 << max(12, (n - 1).bit_length())  # pow2: stable compile shapes
-        arr = np.zeros(N, np.uint8)
-        arr[:n] = np.frombuffer(out, np.uint8)
-        # warm
-        d = jax.device_put(arr)
-        crc = int(cs.crc32_device_tail(d, n))
-        ts = []
-        for _ in range(iters):
-            t0 = time.perf_counter()
+        small, big = len(out) // 4, len(out)
+
+        def stage(n):
+            N = 1 << max(12, (n - 1).bit_length())
+            arr = np.zeros(N, np.uint8)
+            arr[:n] = np.frombuffer(out[:n], np.uint8)
             d = jax.device_put(arr)
-            crc = int(cs.crc32_device_tail(d, n))
-            ts.append(time.perf_counter() - t0)
-        return crc, min(ts)
+            crc = int(cs.crc32_device_tail(d, n))  # warm + value
+            ts = []
+            for i in range(max(2, iters)):
+                # salt by varying prev so results can't be cached
+                t0 = time.perf_counter()
+                int(cs.crc32_device_tail(d, n, i + 1))
+                ts.append(time.perf_counter() - t0)
+            return crc, min(ts)
+
+        _, t_small = stage(small)
+        crc, t_big = stage(big)
+        slope = ((big - small) / (t_big - t_small) / 1e9
+                 if t_big > t_small else None)
+        return crc, slope, t_small, t_big
 
     ex = concurrent.futures.ThreadPoolExecutor(1)
     fut = ex.submit(run)
@@ -416,27 +428,23 @@ def main():
                 "host-only results")
             args.host_only = True
 
+    dev_crc_slope = None
     if not args.host_only:
-        # Device CRC-32 kernel (MXU bit-matmul): measure at two sizes and
-        # report the compute slope — in this harness the TPU sits behind a
-        # ~50 MB/s stdio tunnel, so absolute device-call times are
-        # tunnel-IO-bound and say nothing about the kernel.
-        small, big = 1 << 21, 1 << 23  # tunnel-feasible probe sizes
-        dv1 = bench_device_verify(out[:small], args.iters, timeout_s=600.0)
-        dv2 = (bench_device_verify(out[:big], args.iters, timeout_s=600.0)
-               if dv1 is not None else None)
-        if dv1 is not None and dv2 is not None:
-            crc, t_small = dv1
-            crc2, t_big = dv2
-            assert crc2 == zlib.crc32(out[:big]), "device CRC mismatch!"
-            log(f"[bench] device CRC verify: {t_small * 1000:.0f} ms @ "
-                f"{small / 1e6:.0f}MB, {t_big * 1000:.0f} ms @ "
-                f"{big / 1e6:.0f}MB (incl. tunnel H2D)")
-            if t_big > t_small:
-                slope = (big - small) / (t_big - t_small)
-                log(f"[bench] device CRC marginal rate "
-                    f"(tunnel-dominated upper bound on IO, lower bound on "
-                    f"kernel): {slope / 1e9:.2f} GB/s")
+        # Device CRC-32 kernel (MXU bit-matmul): resident-data two-size
+        # slope — per-call times through the ~50 MB/s stdio tunnel say
+        # nothing about the kernel, so data is device_put once per size
+        # and only the scalar crosses per timed call.
+        big = 1 << 23
+        dv = bench_device_verify(out[:big], args.iters, timeout_s=600.0)
+        if dv is not None:
+            crc, dev_crc_slope, t_small, t_big = dv
+            assert crc == zlib.crc32(out[:big]), "device CRC mismatch!"
+            log(f"[bench] device CRC (resident data): "
+                f"{t_small * 1000:.0f} ms @ {big / 4e6:.0f}MB, "
+                f"{t_big * 1000:.0f} ms @ {big / 1e6:.0f}MB")
+            if dev_crc_slope is not None:
+                log(f"[bench] device CRC kernel marginal rate "
+                    f"(two-size slope): {dev_crc_slope:.2f} GB/s")
 
     dev_resolve = None
     dev_e2e = None
@@ -496,6 +504,8 @@ def main():
                 scaling_eff / scaling_ceiling, 3)
     if dev_resolve is not None:
         result["device_resolve_GBps"] = round(dev_resolve / 1e9, 3)
+    if dev_crc_slope is not None:
+        result["device_crc_GBps"] = round(dev_crc_slope, 2)
     if dev_e2e is not None:
         result["device_e2e_1MB_ms"] = round(dev_e2e * 1000, 1)
     print(json.dumps(result))
