@@ -40,7 +40,7 @@ _OPTIMAL_CFG = {4: (32, 1, 48), 5: (64, 1, 96), 6: (160, 1, 160),
 # 4th element: sparse DP relax (short lengths + breakpoint tops only —
 # safe under the guard; the dense relax is the fallback's job)
 _FAST_TIERS = {4: (16, 1, 32, True), 5: (24, 1, 48, True),
-               6: (32, 1, 64, True), 7: (96, 1, 128, True),
+               6: (16, 1, 48, True), 7: (96, 1, 128, True),
                8: (128, 1, 160, True), 9: (160, 1, 160, True)}
 _FAST_MIN = 1 << 16
 
