@@ -334,6 +334,9 @@ def tokenize_stream_batched(data: bytes, window_len: int = 0,
              "joins": 0}
 
     t0 = time.perf_counter()
+    # start the payload upload first: the device_put returns before the
+    # transfer completes, so it overlaps the host header scan
+    data32 = SP.stage_stream_device(data)
     hdr, symb, bfin, hlit, hdist, lens = NL.scan_headers(data)
     stats["scan_ms"] = (time.perf_counter() - t0) * 1e3
     stats["candidates"] = len(hdr)
@@ -369,7 +372,6 @@ def tokenize_stream_batched(data: bytes, window_len: int = 0,
     n_out = L * S
 
     t0 = time.perf_counter()
-    data32 = SP.stage_stream_device(data)
     dev = jax.device_put((jnp.asarray(lit_pad), jnp.asarray(dist_pad),
                           jnp.asarray(tbl_idx), jnp.asarray(lane_starts),
                           jnp.asarray(lane_ends), jnp.asarray(seg_id),
