@@ -268,7 +268,10 @@ def _batched_kernel(data32, lit_lens, dist_lens, tbl_idx, lane_starts,
         mpos, nv, flags, handoff, exits, off,
         lit_errs.astype(jnp.int32), dist_errs.astype(jnp.int32),
         total[None]])
-    return meta, compact
+    # ONE flat result: metadata followed by the compacted tokens, so
+    # the host fetches meta + a bounded token prefix in a single D2H
+    # (every separate fetch is a full tunnel round trip)
+    return jnp.concatenate([meta, compact])
 
 
 def _plan_lanes(sym_bits, seg_ends, chunk_bits):
@@ -376,11 +379,21 @@ def tokenize_stream_batched(data: bytes, window_len: int = 0,
                           jnp.asarray(tbl_idx), jnp.asarray(lane_starts),
                           jnp.asarray(lane_ends), jnp.asarray(seg_id),
                           jnp.asarray(seg_sym)))
-    meta_d, compact_d = _batched_kernel(
+    flat_d = _batched_kernel(
         data32, *dev, np.int32(nbits), L, S, B, n_out)
-    meta = np.asarray(meta_d)
     stats["kernel_ms"] = (time.perf_counter() - t0) * 1e3
-    stats["fetches"] = 2  # meta here + compact below
+
+    # ONE bounded fetch: metadata + a token prefix sized by the
+    # bit-budget bound (>= the real count unless codes are degenerate
+    # sub-5-bit; a rare second fetch then grabs the tail)
+    hdr_len = 6 * L + 2 * B + 1
+    covered = int((lane_ends[:Ln].astype(np.int64)
+                   - lane_starts[:Ln].astype(np.int64)).sum())
+    bound = min(n_out, covered // 5 + Ln)
+    t0 = time.perf_counter()
+    first = np.asarray(flat_d[:hdr_len + bound])
+    stats["fetches"] = 1
+    meta = first[:hdr_len]
 
     nv = meta[L:2 * L]
     flags = meta[2 * L:3 * L]
@@ -391,8 +404,12 @@ def tokenize_stream_batched(data: bytes, window_len: int = 0,
     dist_errs = meta[6 * L + B:6 * L + 2 * B]
     total = int(meta[-1])
 
-    t0 = time.perf_counter()
-    compact = np.asarray(compact_d[:total])
+    if total > bound:
+        tail = np.asarray(flat_d[hdr_len + bound:hdr_len + total])
+        compact = np.concatenate([first[hdr_len:], tail])
+        stats["fetches"] = 2
+    else:
+        compact = first[hdr_len:hdr_len + total]
     stats["fetch_ms"] = (time.perf_counter() - t0) * 1e3
     all_ol, all_di, all_rv = _unpack_tokens(compact)
 
