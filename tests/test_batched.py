@@ -174,3 +174,17 @@ def test_bitflip_fuzz_against_oracle():
         else:
             assert got[1] == ref[1], i  # trunc vs err class agreement
         payload[i] ^= b
+
+
+def test_many_small_blocks():
+    """Sync-flush-heavy stream: hundreds of tiny dynamic blocks means
+    hundreds of candidates/segments (table-batch and lane-plan shapes
+    well past the common case)."""
+    co = zlib.compressobj(9, zlib.DEFLATED, -15)
+    parts = []
+    for i in range(300):
+        parts.append(co.compress(corpus(100 + i, 700)))
+        parts.append(co.flush(zlib.Z_SYNC_FLUSH))
+    parts.append(co.flush())
+    payload = b"".join(parts)
+    assert_oracle_match(payload)
