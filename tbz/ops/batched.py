@@ -170,10 +170,11 @@ def _batched_kernel(data32, lit_lens, dist_lens, tbl_idx, lane_starts,
         lane_ends_ext, total_bits, L, S)
 
     n_syms = jnp.sum(starts >= 0, axis=1).astype(jnp.int32)
-    # a lane is usable if it ended cleanly AND either didn't fill its
-    # tape or actually reached its (extended) lane end (same rule as
-    # the host stitcher in speculative.py)
-    usable = ok & ((n_syms < S) | (exits >= lane_ends_ext))
+    # a lane is usable if it ended cleanly; a lane that FILLED its tape
+    # (degenerate short codes) still splices its prefix — the next
+    # junction simply fails to intersect its mid-lane tail and the host
+    # joins from this lane's exit (prefix + join instead of all-join)
+    usable = ok
     last = jnp.clip(n_syms - 1, 0, S - 1)
     last_packed = jnp.take_along_axis(packed, last[:, None], 1)[:, 0]
     has_eob = (n_syms > 0) & (((last_packed >> 17) & 1) == 1)
