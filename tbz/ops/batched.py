@@ -40,7 +40,7 @@ import numpy as np
 from .. import constants as C
 from .. import errors as E
 from ..tape import STORED_FLAG, FrontendResult, TokenTape
-from .tokenize_device import (_entry_consts, _peek, build_flat_table,
+from .tokenize_device import (_entry_consts, build_flat_table,
                               _e_nbits, _e_op, _e_extra, _e_val)
 
 _TBITS = 15  # flat tables are 2^15 entries (build_flat_table)
@@ -149,12 +149,12 @@ def _batched_kernel(data32, lit_lens, dist_lens, tbl_idx, lane_starts,
                     L: int, S: int, B: int, n_out: int):
     """Table build + lane decode + stitch + compaction, ONE device call.
 
-    Returns (meta, compact): meta int32[6L + 2B + 1] =
-    [merge_pos | n_valid | flags | resume | exits | out_off |
-     lit_errs | dist_errs | total]; compact int32[n_out + 1] packed
+    Returns one flat int32 array: a [6L + 2B + 1] metadata header
+    [merge_pos | n_valid | flags | handoff | exits | out_off |
+     lit_errs | dist_errs | total] followed by the [n_out + 1] compacted
     tokens (len 9b | field 16b; field = literal byte when len == 1,
-    dist-1 otherwise) in chain order, device-resident — the caller
-    fetches only compact[:total].
+    dist-1 otherwise) in chain order — the caller fetches the header
+    plus a bounded token prefix in one D2H.
     """
     lit_c, dist_c, _ = (jnp.asarray(x) for x in _entry_consts())
     lit_tabs, lit_errs = jax.vmap(
