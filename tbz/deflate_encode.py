@@ -183,6 +183,14 @@ def _plan_blocks(ol, di, li):
     n = len(ol)
     if n <= 2 * _SPLIT_UNIT:
         return [(0, n)]
+    try:
+        from .native import loader
+        if loader.available():
+            plan = loader.plan_blocks(ol, di, li, _SPLIT_UNIT)
+            if plan is not None:
+                return plan
+    except ImportError:
+        pass
     U = -(-n // _SPLIT_UNIT)
     ids = np.arange(n, dtype=np.int64) // _SPLIT_UNIT
     m = di == 0

@@ -13,6 +13,7 @@
 
 #include <algorithm>
 #include <atomic>
+#include <cmath>
 #include <cstdint>
 #include <cstdio>
 #include <cstdlib>
@@ -2169,6 +2170,120 @@ extern "C" {
 void tbz_package_merge(const uint64_t* freqs, int32_t n, int32_t limit,
                        uint8_t* lens) {
   package_merge(freqs, n, limit, lens);
+}
+
+// Cost-aware block split (same algorithm as ../deflate_encode.py
+// _plan_blocks): unit histograms + greedy pairwise entropy merges.
+// Writes block END token indices; returns block count, or -1 if it
+// exceeds cap (caller falls back to the numpy planner).
+int64_t tbz_plan_blocks(const int32_t* ol, const int32_t* di,
+                        const int32_t* li, int64_t n, int32_t unit,
+                        int64_t* ends_out, int64_t cap) {
+  if (n <= 2 * int64_t(unit)) {
+    if (cap < 1) return -1;
+    ends_out[0] = n;
+    return 1;
+  }
+  int64_t U = (n + unit - 1) / unit;
+  struct Unit {
+    uint32_t lf[288];
+    uint32_t df[30];
+    double ex;
+    int64_t end;
+  };
+  Unit* us = new Unit[U];
+  std::memset(us, 0, sizeof(Unit) * size_t(U));
+  for (int64_t u = 0; u < U; u++)
+    us[u].end = std::min<int64_t>((u + 1) * unit, n);
+  for (int64_t i = 0; i < n; i++) {
+    Unit& u = us[i / unit];
+    if (di[i] == 0) {
+      u.lf[li[i]]++;
+    } else {
+      int ls = len_symbol_of(ol[i]);
+      int ds = dist_symbol_of(di[i]);
+      u.lf[257 + ls]++;
+      u.df[ds]++;
+      u.ex += kLenExtra[ls] + kDistExtra[ds];
+    }
+  }
+  auto ent = [](const uint32_t* f, int m) -> double {
+    double tot = 0, xlx = 0;
+    for (int i = 0; i < m; i++)
+      if (f[i]) {
+        double v = double(f[i]);
+        tot += v;
+        xlx += v * std::log2(v);
+      }
+    return tot > 0 ? tot * std::log2(tot) - xlx : 0.0;
+  };
+  auto nnz = [](const uint32_t* f, int m) -> int {
+    int c = 0;
+    for (int i = 0; i < m; i++) c += f[i] != 0;
+    return c;
+  };
+  auto cost = [&](const Unit& u) -> double {
+    return ent(u.lf, 288) + ent(u.df, 30) + u.ex + 3.0 +
+           80.0 + 4.0 * (nnz(u.lf, 288) + nnz(u.df, 30));
+  };
+  auto merged_cost = [&](const Unit& a, const Unit& b) -> double {
+    uint32_t lf[288], df[30];
+    for (int i = 0; i < 288; i++) lf[i] = a.lf[i] + b.lf[i];
+    for (int i = 0; i < 30; i++) df[i] = a.df[i] + b.df[i];
+    return ent(lf, 288) + ent(df, 30) + (a.ex + b.ex) + 3.0 +
+           80.0 + 4.0 * (nnz(lf, 288) + nnz(df, 30));
+  };
+  double* C = new double[U];
+  double* MC = new double[U];
+  for (int64_t u = 0; u < U; u++) C[u] = cost(us[u]);
+  for (int64_t u = 0; u + 1 < U; u++) MC[u] = merged_cost(us[u], us[u + 1]);
+  bool* dirty = new bool[U];
+  int64_t m = U;
+  for (;;) {
+    // left-to-right sweep: merge pair (i, i+1) when the merged cost
+    // doesn't exceed the sum (same rule/tie-break as the numpy form)
+    int64_t w = 0;
+    bool changed = false;
+    for (int64_t i = 0; i < m;) {
+      if (i + 1 < m && MC[i] <= C[i] + C[i + 1]) {
+        // merge into slot w
+        for (int k = 0; k < 288; k++) us[w].lf[k] = us[i].lf[k] + us[i + 1].lf[k];
+        for (int k = 0; k < 30; k++) us[w].df[k] = us[i].df[k] + us[i + 1].df[k];
+        us[w].ex = us[i].ex + us[i + 1].ex;
+        us[w].end = us[i + 1].end;
+        C[w] = MC[i];
+        MC[w] = MC[i];  // carried; dirty recompute below overwrites
+        dirty[w] = true;
+        i += 2;
+        changed = true;
+      } else {
+        if (w != i) {
+          us[w] = us[i];
+          C[w] = C[i];
+          MC[w] = MC[i];  // clean pair (w,w+1) == old pair (i,i+1)
+        }
+        dirty[w] = false;
+        i += 1;
+      }
+      w++;
+    }
+    m = w;
+    if (!changed || m <= 1) break;
+    // pair costs for the next pass: every pair whose either side was
+    // rebuilt needs a fresh cost; clean pairs keep their value (their
+    // contents are unchanged — same carrying rule as the numpy form)
+    for (int64_t i = 0; i + 1 < m; i++)
+      if (dirty[i] || dirty[i + 1]) MC[i] = merged_cost(us[i], us[i + 1]);
+  }
+  int64_t nb = m;
+  if (nb > cap) nb = -1;
+  if (nb > 0)
+    for (int64_t i = 0; i < m; i++) ends_out[i] = us[i].end;
+  delete[] us;
+  delete[] C;
+  delete[] MC;
+  delete[] dirty;
+  return nb;
 }
 }  // extern "C"
 namespace {

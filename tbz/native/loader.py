@@ -199,6 +199,11 @@ def _load():
         lib.tbz_package_merge.argtypes = [
             ctypes.POINTER(ctypes.c_uint64), ctypes.c_int32,
             ctypes.c_int32, ctypes.POINTER(ctypes.c_uint8)]
+        lib.tbz_plan_blocks.restype = ctypes.c_int64
+        lib.tbz_plan_blocks.argtypes = [
+            ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int32),
+            ctypes.POINTER(ctypes.c_int32), ctypes.c_int64, ctypes.c_int32,
+            ctypes.POINTER(ctypes.c_int64), ctypes.c_int64]
         lib.tbz_scan_headers.restype = ctypes.c_int32
         lib.tbz_scan_headers.argtypes = [
             ctypes.c_char_p, ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
@@ -315,6 +320,28 @@ def package_merge(freqs, limit: int) -> np.ndarray:
         f.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64)), len(f), limit,
         lens.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)))
     return lens.astype(np.int32)
+
+
+def plan_blocks(ol, di, li, unit: int):
+    """Cost-aware block split (frontend.cc tbz_plan_blocks): same unit
+    histogram + greedy pairwise entropy-merge fixpoint as
+    deflate_encode._plan_blocks. Returns [(start, end)] token ranges,
+    or None when the C++ planner declines (caller falls back to numpy)."""
+    lib = _load()
+    n = len(ol)
+    olc = np.ascontiguousarray(ol, np.int32)
+    dic = np.ascontiguousarray(di, np.int32)
+    lic = np.ascontiguousarray(li, np.int32)
+    cap = max(1, -(-n // unit))
+    ends = np.empty(cap, np.int64)
+    nb = lib.tbz_plan_blocks(
+        _i32p(olc), _i32p(dic), _i32p(lic), n, unit,
+        ends.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)), cap)
+    if nb < 0:
+        return None
+    ends = ends[:nb]
+    starts = np.concatenate(([0], ends[:-1]))
+    return list(zip(starts.tolist(), ends.tolist()))
 
 
 def scan_headers(data, from_bit: int = 0, to_bit: int = -1,

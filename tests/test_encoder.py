@@ -139,3 +139,39 @@ def test_size_beats_libz_mixed_bench_corpus():
         assert zlib.decompressobj(-15).decompress(raw) == data
         libz = len(zlib.compress(data, level)) - 6
         assert len(raw) <= libz, (level, len(raw), libz)
+
+
+def test_plan_blocks_cpp_matches_numpy():
+    """The C++ block planner (frontend.cc tbz_plan_blocks) must produce
+    the exact plan of the numpy fixpoint it replaces — same merges, same
+    boundaries — across heterogeneous token streams."""
+    import numpy as np
+    if not loader.available():
+        pytest.skip("native frontend unavailable")
+    rng = np.random.default_rng(11)
+    for n in (1100, 7000, 60000):
+        ol = np.zeros(n, np.int32)
+        di = np.zeros(n, np.int32)
+        li = np.zeros(n, np.int32)
+        i, seg = 0, 0
+        while i < n:
+            j = min(n, i + int(rng.integers(150, 2500)))
+            if seg % 3 == 0:
+                li[i:j] = rng.integers(0, 48, j - i)
+            elif seg % 3 == 1:
+                li[i:j] = rng.integers(0, 256, j - i)
+            else:
+                m = rng.random(j - i) < 0.5
+                ol[i:j][m] = rng.integers(3, 259, int(m.sum()))
+                di[i:j][m] = rng.integers(1, 32769, int(m.sum()))
+                li[i:j][~m] = rng.integers(32, 127, int((~m).sum()))
+            i, seg = j, seg + 1
+        cpp = loader.plan_blocks(ol, di, li, de._SPLIT_UNIT)
+        assert cpp is not None
+        orig = loader.available
+        loader.available = lambda: False
+        try:
+            ref = de._plan_blocks(ol, di, li)
+        finally:
+            loader.available = orig
+        assert cpp == ref
