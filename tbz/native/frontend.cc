@@ -1132,7 +1132,10 @@ static int32_t inflate_core(const uint8_t* data, int64_t size,
           } else {
             break;
           }
-          if (br.nbits < 48 || pos + 300 + 16 > cap) break;
+          // 20 bits covers the worst litlen code + length extra
+          // (15 + 5); peeks beyond nbits read zeros, never garbage,
+          // so every lookup below stays within real bits.
+          if (br.nbits < 20 || pos + 300 + 16 > cap) break;
         }
         if (eop == OP_LITERAL || eop == OP_LIT2)
           continue;  // burst ended on bits/space
@@ -1145,13 +1148,21 @@ static int32_t inflate_core(const uint8_t* data, int64_t size,
           err = ERR_INVALID_CODE;
           goto done;
         }
-        // combined code+extra consume (48-bit headroom guaranteed by
-        // the fast-region fill): extra bits sit right above the code
+        // combined code+extra consume (>=20 real bits guaranteed by
+        // the burst condition): extra bits sit right above the code
+        int64_t tok_bit = br.bit_position();
         int len = e_val(e) +
                   (uint32_t(br.buf >> e_nbits(e)) &
                    ((1u << e_extra(e)) - 1));
         br.drop(e_nbits(e) + e_extra(e));
         br.fill();
+        if (br.nbits < 28) {
+          // input nearly exhausted: the dist code + extra (worst 28
+          // bits) may not be fully buffered — replay this token in the
+          // careful region, which checks underrun per field
+          br.init(data, size, tok_bit);
+          continue;
+        }
         uint32_t de = dist_t[uint32_t(br.buf) & ((1u << kDistRoot) - 1)];
         if (e_op(de) == OP_LINK)
           de = dist_t[e_val(de) +

@@ -123,3 +123,36 @@ def test_overflow_retry_path():
     payload = raw_deflate(data, 9)
     res = L.tokenize(payload)  # cap heuristic may or may not overflow
     assert L.resolve(res.tape, payload) == data
+
+
+def test_tail_match_truncation_replay():
+    """Streams whose final tokens are matches, truncated at every byte
+    near the end: the fast loop's near-exhaustion replay (a token whose
+    dist code may be only partially buffered re-runs in the careful
+    region) must keep byte and error-class parity with the reference
+    frontend."""
+    import numpy as np
+    rng = np.random.default_rng(9)
+    for trial in range(12):
+        n = int(rng.integers(500, 5000))
+        base = rng.integers(97, 123, n).astype(np.uint8).tobytes()
+        data = base + base[-64:] * 8  # forces trailing matches
+        payload = zlib.compress(data, 6)[2:-4]
+        out, _, _ = loader.inflate(payload, size_hint=len(data))
+        assert bytes(out) == data
+        for cut in range(max(1, len(payload) - 40), len(payload)):
+            p = payload[:cut]
+            try:
+                a = ("ok", bytes(loader.inflate(p)[0]))
+            except TruncatedError:
+                a = ("trunc", None)
+            except DeflateError as e:
+                a = ("err", e.code)
+            try:
+                o, _, done = reference.inflate_raw(p)
+                b = ("ok", bytes(o)) if done else ("trunc", None)
+            except TruncatedError:
+                b = ("trunc", None)
+            except DeflateError as e:
+                b = ("err", e.code)
+            assert a == b, (trial, cut, a[0], b[0])
