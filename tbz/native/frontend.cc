@@ -635,7 +635,9 @@ static int32_t tokenize_impl(const uint8_t* data, int64_t size,
           root_val[nt] = int32_t(e_val(e));
           nt++;
           produced++;
-          if (br.nbits < 48 || nt >= cap) break;
+          // 20 bits covers the worst litlen code + length extra
+          // (15 + 5); see inflate_core's burst for the bound argument
+          if (br.nbits < 20 || nt >= cap) break;
         }
         if (e_op(e) == OP_LITERAL) continue;  // burst ended on bits/cap
         if (e_op(e) == OP_END) {
@@ -647,11 +649,18 @@ static int32_t tokenize_impl(const uint8_t* data, int64_t size,
           goto done;
         }
         if (nt < cap) {
+          int64_t tok_bit = br.bit_position();
           int length = e_val(e) +
                        int(uint32_t(br.buf >> e_nbits(e)) &
                            ((1u << e_extra(e)) - 1));
           br.drop(e_nbits(e) + e_extra(e));
           br.fill();
+          if (br.nbits < 28) {
+            // dist code + extra (worst 28 bits) may be only partially
+            // buffered this close to the end: replay via careful path
+            br.init(data, size, tok_bit);
+            continue;
+          }
           uint32_t de = dist_t[uint32_t(br.buf) & ((1u << kDistRoot) - 1)];
           if (e_op(de) == OP_LINK)
             de = dist_t[e_val(de) +
