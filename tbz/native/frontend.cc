@@ -82,6 +82,9 @@ constexpr int kMaxBits = 15;
 // Root 12 (round 4, was 10): two short literal codes (L1+L2 <= 12)
 // fuse into one table entry for the inflate fast loop — common on text
 // where frequent literals sit at 4-6 bits. LINK hops stay negligible.
+// Roots 13/14 A/B'd (round 4): 13% / 40% SLOWER on text+mix despite
+// more LIT2 fusion — the 32/64KB table falls out of L1 (root 12's
+// 16KB fits). Do not widen again.
 constexpr int kLitRoot = 12, kDistRoot = 6, kClRoot = 7;
 constexpr int kEnoughLit = 6144, kEnoughDist = 592, kEnoughCl = 128;
 constexpr int STORED_FLAG = 1 << 30;
