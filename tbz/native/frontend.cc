@@ -451,6 +451,318 @@ int32_t tbz_inflate_into(const uint8_t* data, int64_t size,
 
 void tbz_free(uint8_t* p) { free(p); }
 
+// ---- paired inflate -------------------------------------------------------
+// Two INDEPENDENT raw-deflate streams decoded in one interleaved loop.
+// The single-stream literal chain is load-latency-bound (~4 ns/symbol:
+// table load -> shift -> next load); interleaving a second independent
+// chain hides most of that latency (measured 2.2x per-symbol in a
+// skeleton probe). Used by the sharded host decoder, which always has
+// many independent streams in flight per thread.
+//
+// Contract: BOTH streams must decode cleanly start-to-finish with no
+// preset window into caller buffers of sufficient (hinted) size.
+// ANY anomaly — bad data, truncation, undersized buffer, distance
+// into a window — returns -1 ("bail") with buffer contents undefined,
+// and the caller re-decodes through the single-stream path, which owns
+// the exact error semantics. Success (0) guarantees bit-exact output
+// and end positions identical to tbz_inflate_into on each stream.
+
+static void fuse_lit_pairs(uint32_t* t);  // defined with inflate_core below
+
+namespace pairlane {
+
+struct Lane {
+  Br br;
+  Tables dyn;
+  const uint32_t* lit_t = nullptr;
+  const uint32_t* dist_t = nullptr;
+  const uint8_t* data;
+  int64_t size;
+  uint8_t* out;
+  int64_t cap;
+  int64_t pos = 0;
+  uint32_t bfinal = 0;
+  enum { HDR, SYM, DONE } state = HDR;
+  bool finished = false;
+};
+
+// Open the next block at the lane's bit position. Stored blocks are
+// copied inline (looping until a coded block, stream end, or input
+// runs out). Returns false to bail.
+static bool open_block(Lane& L) {
+  for (;;) {
+    uint32_t bfinal, btype;
+    if (!L.br.get(1, &bfinal) || !L.br.get(2, &btype)) return false;
+    L.bfinal = bfinal;
+    if (btype == 3) return false;
+    if (btype == 0) {
+      L.br.align_byte();
+      uint32_t ln, nlen;
+      if (!L.br.get(16, &ln) || !L.br.get(16, &nlen)) return false;
+      if (ln != (~nlen & 0xFFFF)) return false;
+      if (L.br.bits_available() < int64_t(ln) * 8) return false;
+      if (L.pos + ln > L.cap) return false;
+      int64_t off = L.br.bit_position() >> 3;
+      std::memcpy(L.out + L.pos, L.data + off, ln);
+      L.pos += ln;
+      L.br.init(L.data, L.size, (off + ln) * 8);
+      if (bfinal) {
+        L.state = Lane::DONE;
+        L.finished = true;
+        return true;
+      }
+      continue;
+    }
+    if (btype == 1) {
+      ensure_fixed();
+      L.lit_t = g_fixed.lit;
+      L.dist_t = g_fixed.dist;
+    } else {
+      if (read_dynamic(L.br, &L.dyn) != OK) return false;
+      fuse_lit_pairs(L.dyn.lit);
+      L.lit_t = L.dyn.lit;
+      L.dist_t = L.dyn.dist;
+    }
+    L.state = Lane::SYM;
+    return true;
+  }
+}
+
+// Decode ONE token with per-field underrun checks (the stream-tail
+// analog of inflate_core's careful region, minus resumability — any
+// irregularity bails to the single-stream path). Returns false to bail.
+static bool careful_token(Lane& L) {
+  uint32_t op, extra, val;
+  if (decode_symbol(L.br, L.lit_t, kLitRoot, &op, &extra, &val) != OK)
+    return false;
+  if (op == OP_END) {
+    if (L.bfinal) {
+      L.state = Lane::DONE;
+      L.finished = true;
+    } else {
+      L.state = Lane::HDR;
+    }
+    return true;
+  }
+  if (op == OP_LITERAL || op == OP_LIT2) {
+    int nb = (op == OP_LIT2) ? 2 : 1;
+    if (L.pos + nb > L.cap) return false;
+    L.out[L.pos++] = uint8_t(val);
+    if (op == OP_LIT2) L.out[L.pos++] = uint8_t(val >> 8);
+    return true;
+  }
+  if (op != OP_MATCH) return false;
+  uint32_t ebits = 0;
+  if (extra && !L.br.get(extra, &ebits)) return false;
+  int len = int(val + ebits);
+  uint32_t dop, dextra, dval;
+  if (decode_symbol(L.br, L.dist_t, kDistRoot, &dop, &dextra, &dval) != OK ||
+      dop != OP_MATCH)
+    return false;
+  uint32_t debits = 0;
+  if (dextra && !L.br.get(dextra, &debits)) return false;
+  int64_t d = dval + debits;
+  int64_t src = L.pos - d;
+  if (src < 0 || L.pos + len > L.cap) return false;  // no preset window
+  for (int64_t k = 0; k < len; k++) L.out[L.pos + k] = L.out[src + k];
+  L.pos += len;
+  return true;
+}
+
+inline bool fast_ok(const Lane& L) {
+  return L.state == Lane::SYM && L.br.pos + 8 <= L.br.n &&
+         L.pos + 300 + 16 <= L.cap;
+}
+
+// Drain a lane's non-fast work: block headers and tail tokens. Returns
+// false to bail. On return the lane is DONE or fast-eligible.
+static bool advance_slow(Lane& L) {
+  while (L.state != Lane::DONE && !fast_ok(L)) {
+    if (L.state == Lane::HDR) {
+      if (!open_block(L)) return false;
+    } else {
+      if (!careful_token(L)) return false;
+    }
+  }
+  return true;
+}
+
+}  // namespace pairlane
+
+int32_t tbz_inflate_pair(const uint8_t* d0, int64_t n0, uint8_t* o0,
+                         int64_t c0, int64_t* w0, int64_t* e0,
+                         const uint8_t* d1, int64_t n1, uint8_t* o1,
+                         int64_t c1, int64_t* w1, int64_t* e1) {
+  using pairlane::Lane;
+  Lane lanes[2];
+  lanes[0].data = d0; lanes[0].size = n0; lanes[0].out = o0; lanes[0].cap = c0;
+  lanes[1].data = d1; lanes[1].size = n1; lanes[1].out = o1; lanes[1].cap = c1;
+  lanes[0].br.init(d0, n0, 0);
+  lanes[1].br.init(d1, n1, 0);
+
+  // One fast token: a branchless refill leaves 56-63 buffered bits
+  // (>=8 input bytes guaranteed by the fast-region bound) — a
+  // worst-case token (48 bits) decodes from one refill. All hot state
+  // lives in the caller's locals (no aliasing with the uint8_t
+  // stores), so the two lanes' chains stay in registers and overlap
+  // in the out-of-order window. MUST inline: as an outlined call the
+  // lane state round-trips through the stack per token, which both
+  // serializes the two chains and adds call overhead.
+  // Returns: 0 = continue fast, 1 = left fast mode (recheck), -1 = bail.
+  auto fast_token = [](const uint8_t* dp, int64_t dn, int64_t& ip,
+                       uint64_t& bf, int& nb, uint8_t* out, int64_t& pos,
+                       const uint32_t* lit_t, const uint32_t* dist_t,
+                       Lane& L) __attribute__((always_inline)) -> int {
+    (void)dn;
+    // Branchless refill (requires ip + 8 <= dn): bits [nb, 63] fill
+    // from one unaligned load; ip advances by the whole bytes taken,
+    // nb lands in [56, 63] consistently with the bytes consumed.
+    uint64_t w;
+    std::memcpy(&w, dp + ip, 8);
+    bf |= w << nb;
+    ip += (63 - nb) >> 3;
+    nb |= 56;
+    uint32_t e = lit_t[uint32_t(bf) & ((1u << kLitRoot) - 1)];
+    if (e_op(e) == OP_LINK)
+      e = lit_t[e_val(e) +
+                ((uint32_t(bf) >> kLitRoot) & ((1u << e_extra(e)) - 1))];
+    uint32_t eop = e_op(e);
+    if (eop == OP_LIT2) {
+      bf >>= e_nbits(e);
+      nb -= e_nbits(e);
+      uint32_t v = e_val(e);
+      out[pos] = uint8_t(v);
+      out[pos + 1] = uint8_t(v >> 8);
+      pos += 2;
+      return 0;
+    }
+    if (eop == OP_LITERAL) {
+      bf >>= e_nbits(e);
+      nb -= e_nbits(e);
+      out[pos++] = uint8_t(e_val(e));
+      return 0;
+    }
+    if (eop == OP_END) {
+      bf >>= e_nbits(e);
+      nb -= e_nbits(e);
+      if (L.bfinal) {
+        L.state = Lane::DONE;
+        L.finished = true;
+      } else {
+        L.state = Lane::HDR;
+      }
+      return 1;
+    }
+    if (eop != OP_MATCH) return -1;
+    // match: 56 buffered bits cover code+extra (20) + dist code+extra
+    // (28); same combined-consume scheme as inflate_core's fast region
+    int len = int(e_val(e) +
+                  (uint32_t(bf >> e_nbits(e)) & ((1u << e_extra(e)) - 1)));
+    int drop = e_nbits(e) + e_extra(e);
+    bf >>= drop;
+    nb -= drop;
+    uint32_t de = dist_t[uint32_t(bf) & ((1u << kDistRoot) - 1)];
+    if (e_op(de) == OP_LINK)
+      de = dist_t[e_val(de) +
+                  ((uint32_t(bf) >> kDistRoot) & ((1u << e_extra(de)) - 1))];
+    if (e_op(de) != OP_MATCH) return -1;
+    int64_t d = e_val(de) +
+                (uint32_t(bf >> e_nbits(de)) & ((1u << e_extra(de)) - 1));
+    drop = e_nbits(de) + e_extra(de);
+    bf >>= drop;
+    nb -= drop;
+    int64_t src = pos - d;
+    if (src < 0) return -1;  // no preset window in the pair path
+    if (d >= 16) {
+      int64_t k = 0;
+      do {
+        uint64_t w0, w1;
+        std::memcpy(&w0, out + src + k, 8);
+        std::memcpy(&w1, out + src + k + 8, 8);
+        std::memcpy(out + pos + k, &w0, 8);
+        std::memcpy(out + pos + k + 8, &w1, 8);
+        k += 16;
+      } while (k < len);
+    } else if (d >= 8) {
+      int64_t k = 0;
+      do {
+        uint64_t w;
+        std::memcpy(&w, out + src + k, 8);
+        std::memcpy(out + pos + k, &w, 8);
+        k += 8;
+      } while (k < len);
+    } else if (d == 1) {
+      std::memset(out + pos, out[src], len);
+    } else {
+      for (int64_t k = 0; k < d; k++) out[pos + k] = out[src + k];
+      int64_t filled = d;
+      while (filled < len) {
+        int64_t take = filled < len - filled ? filled : len - filled;
+        std::memcpy(out + pos + filled, out + pos, size_t(take));
+        filled += take;
+      }
+    }
+    pos += len;
+    return 0;
+  };
+
+  for (;;) {
+    // drain headers / tails; lanes come back fast-eligible or DONE
+    if (!pairlane::advance_slow(lanes[0])) return -1;
+    if (!pairlane::advance_slow(lanes[1])) return -1;
+    bool f0 = pairlane::fast_ok(lanes[0]);
+    bool f1 = pairlane::fast_ok(lanes[1]);
+    if (!f0 && !f1) break;  // both DONE (advance_slow ensures fast or done)
+
+    // localize hot state
+    Lane& A = lanes[0];
+    Lane& B = lanes[1];
+    int64_t ip0 = A.br.pos, ip1 = B.br.pos;
+    uint64_t bf0 = A.br.buf, bf1 = B.br.buf;
+    int nb0 = A.br.nbits, nb1 = B.br.nbits;
+    int64_t pos0 = A.pos, pos1 = B.pos;
+    int rc = 0;
+    if (f0 && f1) {
+      // interleaved: one token per lane per iteration; the two chains
+      // share no state and overlap in the OOO window
+      for (;;) {
+        rc = fast_token(A.data, A.size, ip0, bf0, nb0, A.out, pos0,
+                        A.lit_t, A.dist_t, A);
+        if (rc < 0) return -1;
+        int rc1 = fast_token(B.data, B.size, ip1, bf1, nb1, B.out, pos1,
+                             B.lit_t, B.dist_t, B);
+        if (rc1 < 0) return -1;
+        if (rc || rc1) break;
+        if (ip0 + 8 > A.size || pos0 + 300 + 16 > A.cap ||
+            ip1 + 8 > B.size || pos1 + 300 + 16 > B.cap)
+          break;
+      }
+    } else {
+      // one lane left: solo fast loop (same token step)
+      Lane& L = f0 ? A : B;
+      int64_t& ip = f0 ? ip0 : ip1;
+      uint64_t& bf = f0 ? bf0 : bf1;
+      int& nb = f0 ? nb0 : nb1;
+      int64_t& pos = f0 ? pos0 : pos1;
+      for (;;) {
+        rc = fast_token(L.data, L.size, ip, bf, nb, L.out, pos,
+                        L.lit_t, L.dist_t, L);
+        if (rc < 0) return -1;
+        if (rc || ip + 8 > L.size || pos + 300 + 16 > L.cap) break;
+      }
+    }
+    // write back
+    A.br.pos = ip0; A.br.buf = bf0; A.br.nbits = nb0; A.pos = pos0;
+    B.br.pos = ip1; B.br.buf = bf1; B.br.nbits = nb1; B.pos = pos1;
+  }
+  if (!lanes[0].finished || !lanes[1].finished) return -1;
+  *w0 = lanes[0].pos;
+  *e0 = lanes[0].br.bit_position();
+  *w1 = lanes[1].pos;
+  *e1 = lanes[1].br.bit_position();
+  return 0;
+}
+
 // ---- block emission -------------------------------------------------------
 // Pack a token range with the given codebooks (codes pre-bit-reversed by
 // the caller, LSB-first shift-in). Carries bit-writer state so Python

@@ -199,6 +199,14 @@ def _load():
         lib.tbz_package_merge.argtypes = [
             ctypes.POINTER(ctypes.c_uint64), ctypes.c_int32,
             ctypes.c_int32, ctypes.POINTER(ctypes.c_uint8)]
+        lib.tbz_inflate_pair.restype = ctypes.c_int32
+        lib.tbz_inflate_pair.argtypes = [
+            ctypes.c_char_p, ctypes.c_int64, ctypes.POINTER(ctypes.c_uint8),
+            ctypes.c_int64, ctypes.POINTER(ctypes.c_int64),
+            ctypes.POINTER(ctypes.c_int64),
+            ctypes.c_char_p, ctypes.c_int64, ctypes.POINTER(ctypes.c_uint8),
+            ctypes.c_int64, ctypes.POINTER(ctypes.c_int64),
+            ctypes.POINTER(ctypes.c_int64)]
         lib.tbz_plan_blocks.restype = ctypes.c_int64
         lib.tbz_plan_blocks.argtypes = [
             ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int32),
@@ -546,6 +554,36 @@ def inflate(data, bit_pos: int = 0, window: bytes = b"",
     finally:
         lib.tbz_free(out_ptr)
     return body, int(end_bit.value), bool(finished.value)
+
+
+def inflate_pair(data0, data1, hint0: int, hint1: int):
+    """Decode two independent raw-deflate streams in one interleaved
+    native loop (frontend.cc tbz_inflate_pair): the single-stream
+    literal decode is table-load-latency-bound, and a second
+    independent chain hides most of it. Hints must be >= the true
+    output sizes for the fast path to engage; anything irregular
+    (bad stream, truncation, undersized hint) transparently re-decodes
+    both streams through `inflate`, which owns exact error semantics.
+
+    Returns (bytes0, bytes1)."""
+    lib = _load()
+    d0, n0, _k0 = _buf(data0)
+    d1, n1, _k1 = _buf(data1)
+    out0 = np.empty(max(hint0, 1) + 32, np.uint8)
+    out1 = np.empty(max(hint1, 1) + 32, np.uint8)
+    w0 = ctypes.c_int64()
+    w1 = ctypes.c_int64()
+    e0 = ctypes.c_int64()
+    e1 = ctypes.c_int64()
+    rc = lib.tbz_inflate_pair(
+        d0, n0, out0.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        out0.size, ctypes.byref(w0), ctypes.byref(e0),
+        d1, n1, out1.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        out1.size, ctypes.byref(w1), ctypes.byref(e1))
+    if rc != 0:
+        return (inflate(data0, size_hint=hint0)[0],
+                inflate(data1, size_hint=hint1)[0])
+    return (out0[:w0.value].tobytes(), out1[:w1.value].tobytes())
 
 
 def inflate_into(data, out_buffer, bit_pos: int = 0,

@@ -156,3 +156,73 @@ def test_tail_match_truncation_replay():
             except DeflateError as e:
                 b = ("err", e.code)
             assert a == b, (trial, cut, a[0], b[0])
+
+
+def test_inflate_pair_matches_single():
+    """tbz_inflate_pair (two streams, one interleaved loop) must be
+    bit-exact with the single-stream path across content kinds, levels,
+    and sizes — including empty inputs and stored blocks."""
+    import numpy as np
+    rng = np.random.default_rng(3)
+
+    def mk(kind, n):
+        if kind == 0:
+            return rng.integers(32, 127, n).astype(np.uint8).tobytes()
+        if kind == 1:
+            return rng.integers(0, 256, n).astype(np.uint8).tobytes()
+        if kind == 2:
+            page = rng.integers(0, 256, 2048).astype(np.uint8)
+            return np.tile(page, max(1, n // 2048)).tobytes()[:n]
+        if kind == 3:
+            return bytes(n)
+        words = [rng.integers(97, 123, size=int(rng.integers(3, 9)))
+                 .astype(np.uint8).tobytes() for _ in range(200)]
+        return b' '.join(
+            words[int(i)] for i in rng.integers(0, 200, max(1, n // 6)))[:n]
+
+    for trial in range(40):
+        a = mk(int(rng.integers(0, 5)), int(rng.integers(0, 200000)))
+        b = mk(int(rng.integers(0, 5)), int(rng.integers(0, 200000)))
+        ca = zlib.compress(a, int(rng.integers(0, 10)))[2:-4]
+        cb = zlib.compress(b, int(rng.integers(0, 10)))[2:-4]
+        ra, rb = loader.inflate_pair(ca, cb, len(a), len(b))
+        assert ra == a and rb == b, trial
+
+
+def test_inflate_pair_error_parity():
+    """Corrupt / truncated / undersized-hint inputs through inflate_pair
+    must produce exactly the single path's outcome (the pair kernel
+    bails on any anomaly and the wrapper re-decodes singly)."""
+    import numpy as np
+    rng = np.random.default_rng(17)
+    good_data = b"x" * 1000
+    good = zlib.compress(good_data, 6)[2:-4]
+    for trial in range(60):
+        n = int(rng.integers(100, 40000))
+        data = rng.integers(32, 127, n).astype(np.uint8).tobytes()
+        comp = bytearray(zlib.compress(data, int(rng.integers(1, 10)))[2:-4])
+        if trial % 3 == 0:
+            comp[int(rng.integers(0, len(comp)))] ^= 1 << int(rng.integers(0, 8))
+        elif trial % 3 == 1:
+            comp = comp[:int(rng.integers(1, len(comp)))]
+        comp = bytes(comp)
+        try:
+            s = ('ok', loader.inflate(comp, size_hint=n)[0])
+        except TruncatedError:
+            s = ('trunc', None)
+        except DeflateError:
+            s = ('err', None)
+        try:
+            pa, pb = loader.inflate_pair(comp, good, n, len(good_data))
+            p = ('ok', pa)
+            assert pb == good_data
+        except TruncatedError:
+            p = ('trunc', None)
+        except DeflateError:
+            p = ('err', None)
+        assert p == s, (trial, p[0], s[0])
+    # undersized hint: silent fallback, right bytes
+    data = bytes(np.arange(5000, dtype=np.uint8))
+    comp = zlib.compress(data, 6)[2:-4]
+    ra, rb = loader.inflate_pair(comp, comp, 10, 5000)
+    assert ra == data and rb == data
