@@ -237,6 +237,17 @@ struct Br {
       nbits += 8;
     }
   }
+  // Branchless refill to 56-63 buffered bits. REQUIRES pos + 8 <= n
+  // (fast regions check this before entry). One unaligned load; pos
+  // advances by the whole bytes taken, and nbits |= 56 lands exactly
+  // consistent with them (bit_position() is unchanged by a refill).
+  inline void refill_fast() {
+    uint64_t w;
+    std::memcpy(&w, p + pos, 8);
+    buf |= w << nbits;
+    pos += (63 - nbits) >> 3;
+    nbits |= 56;
+  }
   inline int64_t bits_available() const { return (n - pos) * 8 + nbits; }
   inline int64_t bit_position() const { return pos * 8 - nbits; }
   inline uint32_t peek(int k) {
@@ -935,7 +946,7 @@ static int32_t tokenize_impl(const uint8_t* data, int64_t size,
       // condition (input tail, tape cap) falls through to the careful
       // path below with the bit position at a symbol start.
       if (br.pos + 8 <= br.n && nt < cap) {
-        br.fill();
+        br.refill_fast();
         uint32_t e;
         for (;;) {
           e = lit_t[uint32_t(br.buf) & ((1u << kLitRoot) - 1)];
@@ -1435,7 +1446,7 @@ static int32_t inflate_core(const uint8_t* data, int64_t size,
       // bits) + headroom in out. Fill before each code; literals burst
       // while >=48 bits remain (a full worst-case token's budget).
       if (br.pos + 8 <= br.n && pos + 300 + 16 <= cap) {
-        br.fill();
+        br.refill_fast();
         uint32_t e, eop;
         for (;;) {
           e = lit_t[uint32_t(br.buf) & ((1u << kLitRoot) - 1)];
