@@ -980,12 +980,16 @@ static int32_t tokenize_impl(const uint8_t* data, int64_t size,
                        int(uint32_t(br.buf >> e_nbits(e)) &
                            ((1u << e_extra(e)) - 1));
           br.drop(e_nbits(e) + e_extra(e));
-          br.fill();
-          if (br.nbits < 28) {
-            // dist code + extra (worst 28 bits) may be only partially
-            // buffered this close to the end: replay via careful path
-            br.init(data, size, tok_bit);
-            continue;
+          if (br.pos + 8 <= br.n) {
+            br.refill_fast();
+          } else {
+            br.fill();
+            if (br.nbits < 28) {
+              // dist code + extra (worst 28 bits) may be only partially
+              // buffered this close to the end: replay via careful path
+              br.init(data, size, tok_bit);
+              continue;
+            }
           }
           uint32_t de = dist_t[uint32_t(br.buf) & ((1u << kDistRoot) - 1)];
           if (e_op(de) == OP_LINK)
@@ -1490,13 +1494,17 @@ static int32_t inflate_core(const uint8_t* data, int64_t size,
                   (uint32_t(br.buf >> e_nbits(e)) &
                    ((1u << e_extra(e)) - 1));
         br.drop(e_nbits(e) + e_extra(e));
-        br.fill();
-        if (br.nbits < 28) {
-          // input nearly exhausted: the dist code + extra (worst 28
-          // bits) may not be fully buffered — replay this token in the
-          // careful region, which checks underrun per field
-          br.init(data, size, tok_bit);
-          continue;
+        if (br.pos + 8 <= br.n) {
+          br.refill_fast();
+        } else {
+          br.fill();
+          if (br.nbits < 28) {
+            // input nearly exhausted: the dist code + extra (worst 28
+            // bits) may not be fully buffered — replay this token in
+            // the careful region, which checks underrun per field
+            br.init(data, size, tok_bit);
+            continue;
+          }
         }
         uint32_t de = dist_t[uint32_t(br.buf) & ((1u << kDistRoot) - 1)];
         if (e_op(de) == OP_LINK)
