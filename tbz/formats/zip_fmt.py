@@ -144,6 +144,10 @@ class ZipReader:
             raise DeflateError(
                 f"zip compression method {e.method} not supported",
                 ERR_HEADER)
+        return self._finish_entry(e, name, out, verify)
+
+    def _finish_entry(self, e: ZipEntry, name: str, out: bytes,
+                      verify: bool) -> bytes:
         if len(out) != e.uncompressed_size:
             raise DeflateError(
                 f"zip member size {len(out)} != directory "
@@ -156,9 +160,33 @@ class ZipReader:
     def read_all(self, verify: bool = True) -> dict[str, bytes]:
         """Decode every entry. Duplicate names collapse to the LAST
         entry's content in the dict (matching by-name lookup); use
-        infolist() + _read_entry-via-read for positional access."""
-        return {e.name: self._read_entry(e, e.name, verify)
-                for e in self.entries}
+        infolist() + _read_entry-via-read for positional access.
+
+        Deflate entries decode two at a time through the native paired
+        inflate (loader.inflate_pair) when available — archives are the
+        natural many-independent-streams case it was built for; a
+        malformed entry falls back to the single-stream decoder inside
+        the wrapper, so error behavior matches read()."""
+        use_pair = self._backend in (None, "host")
+        if use_pair:
+            try:
+                from ..native import loader
+                use_pair = loader.available()
+            except ImportError:
+                use_pair = False
+        results: dict[int, bytes] = {}
+        defl = [i for i, e in enumerate(self.entries)
+                if e.method == 8] if use_pair else []
+        for a, b in zip(defl[0::2], defl[1::2]):
+            ea, eb = self.entries[a], self.entries[b]
+            oa, ob = loader.inflate_pair(
+                _member_body(self._data, ea), _member_body(self._data, eb),
+                ea.uncompressed_size, eb.uncompressed_size)
+            results[a] = self._finish_entry(ea, ea.name, oa, verify)
+            results[b] = self._finish_entry(eb, eb.name, ob, verify)
+        return {e.name: (results[i] if i in results else
+                         self._read_entry(e, e.name, verify))
+                for i, e in enumerate(self.entries)}
 
 
 class ZipWriter:

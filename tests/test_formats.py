@@ -228,3 +228,34 @@ def test_zip_writer_stored_fallback():
     assert tbz.ZipReader(blob).read("r.bin") == data
     zf = zipfile.ZipFile(io.BytesIO(blob))
     assert zf.getinfo("r.bin").compress_type == zipfile.ZIP_STORED
+
+
+def test_zip_read_all_paired_matches_read():
+    """read_all pairs deflate entries through the native paired inflate;
+    results must match entry-by-entry read() exactly across mixed
+    stored/deflate archives with odd deflate counts, and a corrupt
+    entry must raise the same ChecksumError class."""
+    import numpy as np
+    from tbz.formats.zip_fmt import ZipReader, ZipWriter
+    from tbz.errors import ChecksumError
+    rng = np.random.default_rng(8)
+    zw = ZipWriter()
+    ref = {}
+    for i in range(9):
+        if i % 4 == 0:
+            data = rng.integers(0, 256, 2000).astype(np.uint8).tobytes()
+        else:
+            data = (b"entry %d " % i) * int(rng.integers(100, 4000))
+        zw.write(f"e{i}", data)
+        ref[f"e{i}"] = data
+    blob = zw.getvalue()
+    zr = ZipReader(blob)
+    assert zr.read_all() == ref
+    assert {n: zr.read(n) for n in ref} == ref
+    # corrupt one deflate member's payload: read_all raises ChecksumError
+    e = [x for x in zr.entries if x.method == 8][2]
+    bad = bytearray(blob)
+    bad[e.local_offset + 40] ^= 0x5A
+    zr2 = ZipReader(bytes(bad))
+    with pytest.raises((ChecksumError, DeflateError)):
+        zr2.read_all()
