@@ -188,3 +188,21 @@ def test_many_small_blocks():
     parts.append(co.flush())
     payload = b"".join(parts)
     assert_oracle_match(payload)
+
+
+def test_bounded_fetch_invariant():
+    """The batched decode's defining property: the whole stream comes
+    back in at most TWO D2H fetches (meta + token prefix in one, an
+    optional tail), regardless of block count. On the real chip each
+    extra fetch is a ~28 ms tunnel round trip."""
+    co = zlib.compressobj(9, zlib.DEFLATED, -15)
+    parts = []
+    for i in range(24):  # many dynamic blocks via full flushes
+        parts.append(co.compress(corpus(40 + i, 48 << 10)))
+        parts.append(co.flush(zlib.Z_FULL_FLUSH))
+    payload = b"".join(parts) + co.flush()
+    assert len(walk_blocks(payload)) >= 24
+    res, stats = BB.tokenize_stream_batched(payload, collect_stats=True)
+    ref = reference.tokenize_host(payload, 0)
+    assert np.array_equal(res.tape.out_len, ref.tape.out_len)
+    assert stats["fetches"] <= 2
