@@ -87,14 +87,18 @@ def make_corpus(size: int, seed: int = 20260816) -> bytes:
 
 
 def bench_host_inflate(payload: bytes, size_hint: int, iters: int):
+    """Single-stream host decode into a pooled known-size buffer
+    (same decompress-into contract as bench_multistream)."""
+    import numpy as np
     from tbz.native import loader
+    buf = np.empty(size_hint + 64, np.uint8)
     ts = []
-    out = None
+    n = 0
     for _ in range(iters + 1):
         t0 = time.perf_counter()
-        out, _, _ = loader.inflate(payload, size_hint=size_hint)
+        n, _, _ = loader.inflate_into(payload, buf)
         ts.append(time.perf_counter() - t0)
-    return out, min(ts[1:])
+    return buf[:n].tobytes(), min(ts[1:])
 
 
 def bench_multistream(data: bytes, n_streams: int, threads: int,
