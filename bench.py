@@ -317,7 +317,9 @@ def bench_scaling(per_dev: int):
         # the curve measures nothing
         pre = [taskset, "-c", f"0-{n - 1}"] if taskset else []
         best, reps = None, []
-        for _ in range(2):
+        for _ in range(3):  # noise floor: t_n is min over runs (the 4-dev
+            # point takes the brunt of neighbor noise on 4 shared cores;
+            # 2 runs left the artifact swinging 0.40-0.74 round to round)
             out = subprocess.run(
                 pre + [sys.executable, script, str(n), str(per_dev),
                        mode],
