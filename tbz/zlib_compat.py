@@ -172,15 +172,45 @@ class compressobj:
 
 class decompressobj:
     """zlib.decompressobj work-alike over tbz.streaming.Decompressor
-    (byte-granular resume, bounded-memory max_length)."""
+    (byte-granular resume, bounded-memory max_length).
+
+    stdlib's unconsumed_tail contract: input reported there has NOT
+    been seen by the decompression machinery and the CALLER re-feeds
+    it. streaming.Decompressor retains withheld input internally (its
+    own documented contract), so this wrapper manages input itself in
+    bounded mode — it feeds budget-scaled bites and keeps the unfed
+    remainder as the tail."""
 
     def __init__(self, wbits: int = MAX_WBITS, zdict: bytes = b""):
         fmt, _ = _fmt_from_wbits(wbits)
         self._d = _streaming.Decompressor(fmt, zdict=zdict)
+        self._utail = b""
 
     def decompress(self, data, max_length: int = 0) -> bytes:
+        data = bytes(data)
         try:
-            return self._d.decompress(bytes(data), max_length=max_length)
+            if not (max_length and max_length > 0):
+                self._utail = b""
+                return self._d.decompress(data)
+            parts = []
+            budget = max_length
+            # drain output the core already holds (pending/queued input)
+            out = self._d.decompress(b"", max_length=budget)
+            parts.append(out)
+            budget -= len(out)
+            off = 0
+            while budget > 0 and off < len(data) and not self._d.eof:
+                bite = data[off:off + max(4096, min(1 << 18, budget))]
+                off += len(bite)
+                out = self._d.decompress(bite, max_length=budget)
+                parts.append(out)
+                budget -= len(out)
+            if self._d.eof and off < len(data):
+                # post-stream bytes belong to unused_data (stdlib)
+                self._d.decompress(data[off:])
+                off = len(data)
+            self._utail = data[off:]
+            return b"".join(parts)
         except _DeflateError as e:
             raise error(str(e)) from e
 
@@ -201,11 +231,12 @@ class decompressobj:
 
     @property
     def unconsumed_tail(self) -> bytes:
-        return self._d.unconsumed_tail
+        return self._utail
 
     def copy(self) -> "decompressobj":
         """Fork mid-stream via the checkpoint blob (the same mechanism
         that survives process restarts)."""
         d = decompressobj.__new__(decompressobj)
         d._d = _streaming.Decompressor.restore(self._d.checkpoint())
+        d._utail = self._utail
         return d

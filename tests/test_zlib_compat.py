@@ -246,3 +246,37 @@ def test_flush_interleave_fuzz_vs_stdlib():
         out += co.flush()
         assert stdzlib.decompress(out) == data[:pos] or \
             stdzlib.decompress(out) == data  # pos may overshoot len
+
+
+def test_decompressobj_bounded_loop_progress():
+    """stdlib's unconsumed_tail contract: input reported there has not
+    been seen by the machinery, so the docs' bounded consumer loop
+    (re-feed tail, bounded output per call, flush at end) must make
+    progress round by round with the tail visibly draining."""
+    import random
+    random.seed(4)
+    data = bytes(random.randrange(256) for _ in range(8000)) + b"ab" * 9000
+    comp = stdzlib.compress(data)
+    d = tz.decompressobj()
+    out = d.decompress(comp, 96)
+    assert len(out) == 96 and len(d.unconsumed_tail) > 0
+    rounds = 0
+    while d.unconsumed_tail and not d.eof:
+        prev_tail = len(d.unconsumed_tail)
+        prev_out = len(out)
+        out += d.decompress(d.unconsumed_tail, 96)
+        # progress each round: input consumed or output produced
+        assert (len(d.unconsumed_tail) < prev_tail
+                or len(out) > prev_out or d.eof)
+        rounds += 1
+        assert rounds < 10000
+    out += d.flush()
+    assert out == data and d.eof
+    # copy() carries the tail
+    d2 = tz.decompressobj()
+    o2 = d2.decompress(comp, 64)
+    fork = d2.copy()
+    assert fork.unconsumed_tail == d2.unconsumed_tail
+    a = o2 + d2.decompress(d2.unconsumed_tail) + d2.flush()
+    b = o2 + fork.decompress(fork.unconsumed_tail) + fork.flush()
+    assert a == data and b == data
