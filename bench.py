@@ -298,11 +298,12 @@ def bench_scaling(per_dev: int):
     confounded by virtual devices sharing physical cores (strong
     scaling cannot speed up on one host by construction).
 
-    Each point is the median of 3 in-process reps x 2 subprocess runs
-    (per-rep spread logged); a PURE fixed-work jit control at the same
-    device counts measures the virtual-CPU platform's own ceiling, so
-    the JSON can carry (raw efficiency, platform ceiling, normalized).
-    Returns (efficiency, ceiling, curve dict)."""
+    Each point is min over 3 subprocess runs of each run's median of 3
+    in-process reps (per-rep spread logged; min-of-medians is the noise
+    floor on this neighbor-noisy box); a PURE fixed-work jit control at
+    the same device counts measures the virtual-CPU platform's own
+    ceiling, so the JSON can carry (raw efficiency, platform ceiling,
+    normalized). Returns (efficiency, ceiling, curve dict)."""
     import subprocess
     here = os.path.dirname(os.path.abspath(__file__))
     script = os.path.join(here, "scripts", "scaling_probe.py")
@@ -327,7 +328,7 @@ def bench_scaling(per_dev: int):
             r = json.loads(out.stdout.strip().splitlines()[-1])
             reps += r.get("reps", [r["t"]])
             best = r["t"] if best is None or r["t"] < best else best
-        log(f"[bench]   scaling {mode} n={n}: median {best * 1e3:.0f} ms,"
+        log(f"[bench]   scaling {mode} n={n}: best-median {best * 1e3:.0f} ms,"
             f" reps [{', '.join(f'{x * 1e3:.0f}' for x in reps)}] ms")
         return best
 

@@ -345,8 +345,11 @@ def tokenize_stream_batched(data: bytes, window_len: int = 0,
     stats["scan_ms"] = (time.perf_counter() - t0) * 1e3
     stats["candidates"] = len(hdr)
     if len(hdr) == 0:
+        # no dynamic headers (stored/static-only stream): hand the
+        # already-staged payload to the fallback so it is not re-uploaded
         res = SP.tokenize_stream_speculative(
-            data, window_len, chunk_bits, collect_stats=False)
+            data, window_len, chunk_bits, collect_stats=False,
+            data32=data32)
         return (res, stats) if collect_stats else res
 
     # --- device plan ------------------------------------------------------

@@ -404,7 +404,8 @@ def tokenize_block_speculative(data: bytes, start_bit: int,
 
 def tokenize_stream_speculative(data: bytes, window_len: int = 0,
                                 chunk_bits: int = 2048,
-                                collect_stats: bool = False):
+                                collect_stats: bool = False,
+                                data32=None):
     """Whole-stream speculative tokenize: the production integration of
     the multi-lane decoder (ROADMAP §2 (b)). Block headers are parsed
     sequentially on the host (a few hundred bytes per ~50KB block); each
@@ -426,7 +427,10 @@ def tokenize_stream_speculative(data: bytes, window_len: int = 0,
     parts: list = []
     produced = 0
     all_stats: list = []
-    data32 = None  # uploaded on first compressed block, reused after
+    # data32: payload already staged by a caller (e.g. the batched
+    # tier falling back after a no-candidate scan — re-uploading
+    # through the ~50 MB/s tunnel would double the stream's H2D);
+    # otherwise uploaded on the first compressed block and reused
     block_bits_ewma = 0  # running block-length estimate (lane coverage)
     while True:
         bfinal = bool(br.bits(1))

@@ -54,10 +54,13 @@ ZLIB_VERSION = _z.ZLIB_VERSION
 ZLIB_RUNTIME_VERSION = _z.ZLIB_RUNTIME_VERSION
 
 
-def _fmt_from_wbits(wbits: int):
+def _fmt_from_wbits(wbits: int, side: str = "decompress"):
     """-> (format, window_bits). wbits==0 means 'window size from the
-    zlib header' (stdlib accepts it; the decoder sizes itself)."""
+    zlib header' — stdlib accepts it on the DECOMPRESS side only
+    (compress with wbits=0 raises in stdlib, so it raises here too)."""
     if wbits == 0:
+        if side == "compress":
+            raise error("Invalid initialization option")
         return "zlib", 15
     if 9 <= wbits <= 15:
         return "zlib", wbits
@@ -80,7 +83,7 @@ def _norm_level(level: int) -> int:
 
 def compress(data, /, level: int = Z_DEFAULT_COMPRESSION,
              wbits: int = MAX_WBITS) -> bytes:
-    fmt, wb = _fmt_from_wbits(wbits)
+    fmt, wb = _fmt_from_wbits(wbits, side="compress")
     if fmt == "auto":
         fmt = "zlib"
     return _api.compress(bytes(data), format=fmt,
@@ -131,7 +134,7 @@ class compressobj:
                  memLevel: int = 8, strategy: int = 0,
                  zdict: bytes | None = None):
         del method, memLevel, strategy
-        fmt, wb = _fmt_from_wbits(wbits)
+        fmt, wb = _fmt_from_wbits(wbits, side="compress")
         if fmt == "auto":
             raise ValueError("compressobj cannot use auto-detect wbits")
         if zdict and fmt == "gzip":
@@ -179,17 +182,31 @@ class decompressobj:
     it. streaming.Decompressor retains withheld input internally (its
     own documented contract), so this wrapper manages input itself in
     bounded mode — it feeds budget-scaled bites and keeps the unfed
-    remainder as the tail."""
+    remainder as the tail. When the budget is exhausted with all input
+    already inside the core and the core possibly still withholding
+    output (a small highly-compressed input can be swallowed whole by
+    one bite), the tail would read empty and stdlib's documented
+    're-feed the tail' loop would terminate with data undelivered — so
+    the wrapper reports a VIRTUAL tail (a suffix of bytes already fed)
+    and recognizes/skips those bytes when they come back."""
 
     def __init__(self, wbits: int = MAX_WBITS, zdict: bytes = b""):
         fmt, _ = _fmt_from_wbits(wbits)
         self._d = _streaming.Decompressor(fmt, zdict=zdict)
-        self._utail = b""
+        self._utail = b""       # input the core has genuinely not seen
+        self._vtail = b""       # virtual tail: already-fed bytes
+        self._last_fed = b""    # suffix of the newest bytes fed
 
     def decompress(self, data, max_length: int = 0) -> bytes:
         data = bytes(data)
+        if max_length < 0:
+            raise ValueError("max_length must be non-negative")
+        if self._vtail:
+            if data[:len(self._vtail)] == self._vtail:
+                data = data[len(self._vtail):]  # re-feed: already inside
+            self._vtail = b""
         try:
-            if not (max_length and max_length > 0):
+            if max_length == 0:
                 self._utail = b""
                 return self._d.decompress(data)
             parts = []
@@ -197,6 +214,7 @@ class decompressobj:
             # drain output the core already holds (pending/queued input)
             out = self._d.decompress(b"", max_length=budget)
             parts.append(out)
+            dry = len(out) < budget  # core cannot produce more unfed
             budget -= len(out)
             off = 0
             while budget > 0 and off < len(data) and not self._d.eof:
@@ -204,18 +222,25 @@ class decompressobj:
                 off += len(bite)
                 out = self._d.decompress(bite, max_length=budget)
                 parts.append(out)
+                dry = len(out) < budget
                 budget -= len(out)
             if self._d.eof and off < len(data):
                 # post-stream bytes belong to unused_data (stdlib)
                 self._d.decompress(data[off:])
                 off = len(data)
+            if data:
+                self._last_fed = data[max(0, off - 4096):off] or \
+                    self._last_fed
             self._utail = data[off:]
+            if not self._utail and not self._d.eof and not dry:
+                self._vtail = self._last_fed
             return b"".join(parts)
         except _DeflateError as e:
             raise error(str(e)) from e
 
     def flush(self, length: int = 16384) -> bytes:
         del length
+        self._vtail = b""  # those bytes are in the core; flush decodes them
         try:
             return self._d.flush()
         except _DeflateError as e:
@@ -231,7 +256,7 @@ class decompressobj:
 
     @property
     def unconsumed_tail(self) -> bytes:
-        return self._utail
+        return self._utail or self._vtail
 
     def copy(self) -> "decompressobj":
         """Fork mid-stream via the checkpoint blob (the same mechanism
@@ -239,4 +264,6 @@ class decompressobj:
         d = decompressobj.__new__(decompressobj)
         d._d = _streaming.Decompressor.restore(self._d.checkpoint())
         d._utail = self._utail
+        d._vtail = self._vtail
+        d._last_fed = self._last_fed
         return d

@@ -280,3 +280,31 @@ def test_decompressobj_bounded_loop_progress():
     a = o2 + d2.decompress(d2.unconsumed_tail) + d2.flush()
     b = o2 + fork.decompress(fork.unconsumed_tail) + fork.flush()
     assert a == data and b == data
+
+
+def test_decompressobj_tiny_input_tail_loop_no_flush():
+    """A highly compressible payload whose whole compressed form fits
+    one internal bite: the re-feed loop (never calling flush) must
+    still recover EVERYTHING — the wrapper reports a virtual tail while
+    the core withholds output (stdlib parity for the documented loop)."""
+    comp = stdzlib.compress(b"A" * 100000)
+    d = tz.decompressobj()
+    out = d.decompress(comp, 10)
+    rounds = 0
+    while d.unconsumed_tail and not d.eof:
+        out += d.decompress(d.unconsumed_tail, 10)
+        rounds += 1
+        assert rounds < 100000
+    assert out == b"A" * 100000 and d.eof
+
+
+def test_wbits_validation_parity():
+    """wbits=0 is decompress-only in stdlib; negative max_length raises
+    ValueError."""
+    with pytest.raises(tz.error):
+        tz.compress(b"x", 6, 0)
+    with pytest.raises(tz.error):
+        tz.compressobj(6, tz.DEFLATED, 0)
+    assert tz.decompress(stdzlib.compress(b"xyz"), 0) == b"xyz"
+    with pytest.raises(ValueError):
+        tz.decompressobj().decompress(b"x", -1)
