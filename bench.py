@@ -110,23 +110,19 @@ def bench_multistream(data: bytes, n_streams: int, threads: int,
     consumer owns its output arena, and per-call malloc+page-fault of
     the output was measured at ~18% of wall time on this box."""
     import numpy as np
-    from tbz.native import loader
+    from tbz.parallel import host as phost
     chunk = -(-len(data) // n_streams)
     pieces = [data[i * chunk:(i + 1) * chunk] for i in range(n_streams)]
     payloads = [zlib.compress(p, 6)[2:-4] for p in pieces]
     bufs = [np.empty(len(pc) + 64, np.uint8) for pc in pieces]
-    ex = concurrent.futures.ThreadPoolExecutor(threads)
-
-    def one(i):
-        n, _, _fin = loader.inflate_into(payloads[i], bufs[i])
-        return n
     ts = []
-    ns = None
+    rs = None
     for _ in range(iters + 1):
         t0 = time.perf_counter()
-        ns = list(ex.map(one, range(n_streams)))
+        rs = phost.decompress_many(payloads, "raw", threads=threads,
+                                   out=bufs, verify=False)
         ts.append(time.perf_counter() - t0)
-    assert b"".join(b[:n].tobytes() for b, n in zip(bufs, ns)) == data
+    assert b"".join(b[:n].tobytes() for b, n in rs) == data
     return min(ts[1:])
 
 

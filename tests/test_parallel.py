@@ -209,3 +209,36 @@ def test_shard_device_resident_outputs(mesh):
         assert n == len(want)
         assert hasattr(arr, "devices")  # still a jax array
         assert bytes(np.asarray(arr[:n])) == want
+
+
+def test_host_decompress_many():
+    """Public host-parallel decode (parallel.host.decompress_many):
+    mixed formats, caller buffers, per-stream error values."""
+    import numpy as np
+    import zlib as _z
+    from tbz.parallel import host as H
+    pieces = [corpus(90 + i, 40000 + i * 1000) for i in range(7)]
+    # bytes-out across formats (per-stream auto-detect)
+    payloads = [_z.compress(p, 6) if i % 2 else
+                _z.compress(p, 9)[2:-4] for i, p in enumerate(pieces)]
+    fmts = ["zlib" if i % 2 else "raw" for i in range(7)]
+    outs = [H.decompress_many([pl], f)[0]
+            for pl, f in zip(payloads, fmts)]
+    assert outs == pieces
+    zl = [_z.compress(p, 6) for p in pieces]
+    assert H.decompress_many(zl, "auto") == pieces
+    # caller buffers (known-size contract)
+    bufs = [np.empty(len(p) + 64, np.uint8) for p in pieces]
+    rs = H.decompress_many(zl, "zlib", out=bufs, threads=3)
+    assert [b[:n].tobytes() for b, n in rs] == pieces
+    # per-stream error values
+    bad = list(zl)
+    bad[3] = bad[3][:10]
+    res = H.decompress_many(bad, "zlib", return_errors=True)
+    assert res[0] == pieces[0] and isinstance(res[3], Exception)
+    assert res[6] == pieces[6]
+    # without return_errors the error propagates
+    import pytest as _pt
+    from tbz.errors import DeflateError
+    with _pt.raises(DeflateError):
+        H.decompress_many(bad, "zlib")
