@@ -21,7 +21,7 @@ import os
 from .. import api as _api
 from ..errors import DeflateError
 
-__all__ = ["decompress_many"]
+__all__ = ["compress_many", "decompress_many"]
 
 
 def decompress_many(payloads, format: str = "auto", *, threads: int = 0,
@@ -71,3 +71,27 @@ def decompress_many(payloads, format: str = "auto", *, threads: int = 0,
             if isinstance(r, DeflateError):
                 raise r
     return results
+
+
+def compress_many(datas, format: str = "zlib", level: int | None = None,
+                  *, threads: int = 0, return_errors: bool = False,
+                  **kw):
+    """Compress independent buffers concurrently on host threads (the
+    matcher / block planner / emitter are C++ and release the GIL).
+    For ONE large buffer use tbz.compress(data, threads=N) instead
+    (segment-parallel single stream). kw forwards to api.compress
+    (zdict=, wbits=, ...). Returns a list in input order."""
+    datas = list(datas)
+    n_threads = threads or min(32, os.cpu_count() or 4)
+
+    def one(i):
+        try:
+            return _api.compress(datas[i], format=format, level=level,
+                                 **kw)
+        except (DeflateError, ValueError) as e:
+            if return_errors:
+                return e
+            raise
+
+    with concurrent.futures.ThreadPoolExecutor(n_threads) as ex:
+        return list(ex.map(one, range(len(datas))))

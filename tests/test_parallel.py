@@ -242,3 +242,13 @@ def test_host_decompress_many():
     from tbz.errors import DeflateError
     with _pt.raises(DeflateError):
         H.decompress_many(bad, "zlib")
+
+
+def test_host_compress_many():
+    import zlib as _z
+    from tbz.parallel import host as H
+    pieces = [corpus(110 + i, 30000 + i * 500) for i in range(5)]
+    blobs = H.compress_many(pieces, "zlib", 6, threads=3)
+    assert [_z.decompress(b) for b in blobs] == pieces
+    blobs = H.compress_many(pieces, "raw", 4)
+    assert [_z.decompressobj(-15).decompress(b) for b in blobs] == pieces
