@@ -18,6 +18,7 @@ codec):
   parallel/                     — mesh / shard_map distribution
   native/                       — C++ runtime components (ctypes)
   zlib_compat                   — stdlib-zlib drop-in surface
+  gzip_compat                   — stdlib-gzip drop-in surface
                                   (compressobj/decompressobj, wbits,
                                   zdict, copy; one-import migration)
 

@@ -59,10 +59,13 @@ def _decode_latin1_fallback(raw: bytes) -> str:
 
 def parse_header(data: bytes, offset: int = 0) -> GzipHeader:
     base = offset
+    # magic before length: two garbage bytes are already a loud error
+    # (stdlib BadGzipFile semantics), not a wait-for-more-input
+    if len(data) - base >= 2 and (data[base] != 0x1F
+                                  or data[base + 1] != 0x8B):
+        raise DeflateError("bad gzip magic", ERR_HEADER)
     if len(data) - base < 10:
         raise TruncatedError("gzip header truncated")
-    if data[base] != 0x1F or data[base + 1] != 0x8B:
-        raise DeflateError("bad gzip magic", ERR_HEADER)
     if data[base + 2] != 8:
         raise DeflateError(f"gzip CM {data[base + 2]} != 8", ERR_HEADER)
     flg = data[base + 3]
