@@ -6,8 +6,10 @@ reader that walks the central directory and inflates members through
 the tbz engine (stored and deflate methods), verifying each member's
 CRC-32. Writing stays with the encoder's gzip/zlib framings.
 
-Not supported (raises DeflateError): ZIP64, encryption, compression
-methods other than stored/deflate, and spanned archives.
+ZIP64 is supported on read (EOCD64 record + 0x0001 extended fields)
+and on write (emitted only when counts/sizes/offsets need it, or when
+forced per entry). Not supported (raises DeflateError): encryption,
+compression methods other than stored/deflate, spanned archives.
 """
 
 from __future__ import annotations
@@ -18,6 +20,8 @@ import zlib as _zlib
 from ..errors import ChecksumError, DeflateError, ERR_CHECKSUM, ERR_HEADER
 
 _EOCD_SIG = b"PK\x05\x06"
+_EOCD64_SIG = b"PK\x06\x06"
+_EOCD64_LOC_SIG = b"PK\x06\x07"
 _CDIR_SIG = b"PK\x01\x02"
 _LOCAL_SIG = b"PK\x03\x04"
 
@@ -44,6 +48,46 @@ def _find_eocd(data: bytes) -> int:
     return idx
 
 
+def _zip64_eocd(data: bytes, eocd: int):
+    """ZIP64: the EOCD64 locator sits immediately before the EOCD and
+    points at the EOCD64 record carrying the 64-bit count/size/offset."""
+    loc = eocd - 20
+    if loc < 0 or data[loc:loc + 4] != _EOCD64_LOC_SIG:
+        raise DeflateError("zip64 EOCD locator missing", ERR_HEADER)
+    rec = int.from_bytes(data[loc + 8:loc + 16], "little")
+    if data[rec:rec + 4] != _EOCD64_SIG:
+        raise DeflateError("zip64 EOCD record missing", ERR_HEADER)
+    n_total = int.from_bytes(data[rec + 32:rec + 40], "little")
+    cd_size = int.from_bytes(data[rec + 40:rec + 48], "little")
+    cd_off = int.from_bytes(data[rec + 48:rec + 56], "little")
+    return n_total, cd_size, cd_off
+
+
+def _zip64_fields(extra: bytes, usize: int, csize: int, loff: int):
+    """Resolve 0xFFFFFFFF sentinels from the 0x0001 extended-info extra
+    field (values appear in order, only for the sentinel'd fields)."""
+    pos = 0
+    while pos + 4 <= len(extra):
+        tag = int.from_bytes(extra[pos:pos + 2], "little")
+        size = int.from_bytes(extra[pos + 2:pos + 4], "little")
+        body = extra[pos + 4:pos + 4 + size]
+        if tag == 0x0001:
+            b = 0
+            if usize == 0xFFFFFFFF:
+                usize = int.from_bytes(body[b:b + 8], "little")
+                b += 8
+            if csize == 0xFFFFFFFF:
+                csize = int.from_bytes(body[b:b + 8], "little")
+                b += 8
+            if loff == 0xFFFFFFFF:
+                loff = int.from_bytes(body[b:b + 8], "little")
+                b += 8
+            return usize, csize, loff
+        pos += 4 + size
+    raise DeflateError("zip64 sizes without a 0x0001 extra field",
+                       ERR_HEADER)
+
+
 def parse_directory(data: bytes) -> list[ZipEntry]:
     eocd = _find_eocd(data)
     if len(data) - eocd < 22:
@@ -51,8 +95,9 @@ def parse_directory(data: bytes) -> list[ZipEntry]:
     n_total = int.from_bytes(data[eocd + 10:eocd + 12], "little")
     cd_size = int.from_bytes(data[eocd + 12:eocd + 16], "little")
     cd_off = int.from_bytes(data[eocd + 16:eocd + 20], "little")
-    if n_total == 0xFFFF or cd_off == 0xFFFFFFFF:
-        raise DeflateError("zip64 archives not supported", ERR_HEADER)
+    if (n_total == 0xFFFF or cd_size == 0xFFFFFFFF
+            or cd_off == 0xFFFFFFFF):
+        n_total, cd_size, cd_off = _zip64_eocd(data, eocd)
     entries = []
     pos = cd_off
     for _ in range(n_total):
@@ -72,9 +117,10 @@ def parse_directory(data: bytes) -> list[ZipEntry]:
         name = (name_raw.decode("utf-8") if flags & 0x800
                 else name_raw.decode("cp437"))
         comment = data[pos + 46 + nlen + xlen:pos + 46 + nlen + xlen + clen]
-        if csize == 0xFFFFFFFF or usize == 0xFFFFFFFF:
-            raise DeflateError("zip64 member sizes not supported",
-                               ERR_HEADER)
+        if (csize == 0xFFFFFFFF or usize == 0xFFFFFFFF
+                or loff == 0xFFFFFFFF):
+            extra = data[pos + 46 + nlen:pos + 46 + nlen + xlen]
+            usize, csize, loff = _zip64_fields(extra, usize, csize, loff)
         if flags & 0x01:
             raise DeflateError("encrypted zip members not supported",
                                ERR_HEADER)
@@ -192,8 +238,9 @@ class ZipReader:
 class ZipWriter:
     """Minimal ZIP writer (APPNOTE 4.4.x subset matching ZipReader):
     local file headers + central directory + EOCD, method 8 (deflate,
-    via the tbz encoder) or 0 (stored). No zip64 — sizes and offsets
-    must stay under 4GiB (raises otherwise).
+    via the tbz encoder) or 0 (stored). ZIP64 records are emitted
+    exactly when counts/sizes/offsets need them (or per entry with
+    force_zip64, mirroring zipfile's flag).
 
     Usage:
         w = ZipWriter()
@@ -208,7 +255,8 @@ class ZipWriter:
         self._count = 0
 
     def write(self, name: str, data: bytes, level: int = 6,
-              method: int | None = None) -> None:
+              method: int | None = None,
+              force_zip64: bool = False) -> None:
         from .. import deflate_encode as de
         data = bytes(data)
         name_b = name.encode("utf-8")
@@ -223,43 +271,76 @@ class ZipWriter:
             body = data
         else:
             raise ValueError(f"unsupported zip method {method}")
-        if max(len(body), len(data)) >= 0xFFFFFFFF or \
-                self._offset >= 0xFFFFFFFF:
-            raise ValueError("zip64 not supported (entry/archive >=4GiB)")
+        zip64 = (force_zip64
+                 or max(len(body), len(data)) >= 0xFFFFFFFF
+                 or self._offset >= 0xFFFFFFFF)
         # general-purpose flag bit 11: UTF-8 names
         flags = 0x0800
-        fixed = (b"PK\x03\x04" + (20).to_bytes(2, "little")
+        version = 45 if zip64 else 20
+        if zip64:
+            l_csize = l_usize = 0xFFFFFFFF
+            l_extra = (b"\x01\x00" + (16).to_bytes(2, "little")
+                       + len(data).to_bytes(8, "little")
+                       + len(body).to_bytes(8, "little"))
+            c_extra = (b"\x01\x00" + (24).to_bytes(2, "little")
+                       + len(data).to_bytes(8, "little")
+                       + len(body).to_bytes(8, "little")
+                       + self._offset.to_bytes(8, "little"))
+            c_loff = 0xFFFFFFFF
+        else:
+            l_csize, l_usize = len(body), len(data)
+            l_extra = c_extra = b""
+            c_loff = self._offset
+        fixed = (b"PK\x03\x04" + version.to_bytes(2, "little")
                  + flags.to_bytes(2, "little")
                  + method.to_bytes(2, "little")
                  + b"\x00\x00\x00\x00"  # dos time/date (zeroed)
                  + crc.to_bytes(4, "little")
-                 + len(body).to_bytes(4, "little")
-                 + len(data).to_bytes(4, "little")
+                 + l_csize.to_bytes(4, "little")
+                 + l_usize.to_bytes(4, "little")
                  + len(name_b).to_bytes(2, "little")
-                 + b"\x00\x00")
-        self._parts.append(fixed + name_b + body)
+                 + len(l_extra).to_bytes(2, "little"))
+        self._parts.append(fixed + name_b + l_extra + body)
         self._central.append(
-            b"PK\x01\x02" + (20).to_bytes(2, "little") * 2
+            b"PK\x01\x02" + version.to_bytes(2, "little") * 2
             + flags.to_bytes(2, "little")
             + method.to_bytes(2, "little")
             + b"\x00\x00\x00\x00"
             + crc.to_bytes(4, "little")
-            + len(body).to_bytes(4, "little")
-            + len(data).to_bytes(4, "little")
+            + l_csize.to_bytes(4, "little")
+            + l_usize.to_bytes(4, "little")
             + len(name_b).to_bytes(2, "little")
-            + b"\x00\x00" * 3  # extra/comment len, disk#
+            + len(c_extra).to_bytes(2, "little")
+            + b"\x00\x00" * 2  # comment len, disk#
             + b"\x00\x00"      # internal attrs
             + b"\x00\x00\x00\x00"  # external attrs
-            + self._offset.to_bytes(4, "little")
-            + name_b)
-        self._offset += len(fixed) + len(name_b) + len(body)
+            + c_loff.to_bytes(4, "little")
+            + name_b + c_extra)
+        self._offset += len(fixed) + len(name_b) + len(l_extra) \
+            + len(body)
         self._count += 1
 
     def getvalue(self) -> bytes:
         cd = b"".join(self._central)
+        cd_off = self._offset
+        need64 = (self._count >= 0xFFFF or len(cd) >= 0xFFFFFFFF
+                  or cd_off >= 0xFFFFFFFF)
+        tail = b""
+        if need64:
+            eocd64 = (_EOCD64_SIG
+                      + (44).to_bytes(8, "little")  # record size - 12
+                      + (45).to_bytes(2, "little") * 2
+                      + b"\x00" * 8                 # disk numbers
+                      + self._count.to_bytes(8, "little") * 2
+                      + len(cd).to_bytes(8, "little")
+                      + cd_off.to_bytes(8, "little"))
+            locator = (_EOCD64_LOC_SIG + b"\x00" * 4
+                       + (cd_off + len(cd)).to_bytes(8, "little")
+                       + (1).to_bytes(4, "little"))
+            tail = eocd64 + locator
         eocd = (b"PK\x05\x06" + b"\x00\x00" * 2
-                + self._count.to_bytes(2, "little") * 2
-                + len(cd).to_bytes(4, "little")
-                + self._offset.to_bytes(4, "little")
+                + min(self._count, 0xFFFF).to_bytes(2, "little") * 2
+                + min(len(cd), 0xFFFFFFFF).to_bytes(4, "little")
+                + min(cd_off, 0xFFFFFFFF).to_bytes(4, "little")
                 + b"\x00\x00")
-        return b"".join(self._parts) + cd + eocd
+        return b"".join(self._parts) + cd + tail + eocd

@@ -259,3 +259,42 @@ def test_zip_read_all_paired_matches_read():
     zr2 = ZipReader(bytes(bad))
     with pytest.raises((ChecksumError, DeflateError)):
         zr2.read_all()
+
+
+def test_zip64_read_write_interop():
+    """ZIP64: read stdlib's forced-zip64 entries and >65535-entry
+    archives; our writer's zip64 records must be stdlib-readable."""
+    import io
+    import zipfile
+    from tbz.formats.zip_fmt import ZipReader, ZipWriter
+    # stdlib-forced per-entry zip64 -> our reader
+    bio = io.BytesIO()
+    with zipfile.ZipFile(bio, "w", zipfile.ZIP_DEFLATED) as z:
+        with z.open("a.bin", "w", force_zip64=True) as f:
+            f.write(b"data! " * 5000)
+        z.writestr("b.txt", "bee")
+    zr = ZipReader(bio.getvalue())
+    assert zr.read("a.bin") == b"data! " * 5000
+    assert zr.read("b.txt") == b"bee"
+    # our forced zip64 -> stdlib
+    w = ZipWriter()
+    w.write("x", b"payload " * 2000, force_zip64=True)
+    w.write("y", b"tiny", method=0)
+    blob = w.getvalue()
+    zf = zipfile.ZipFile(io.BytesIO(blob))
+    assert zf.read("x") == b"payload " * 2000 and zf.read("y") == b"tiny"
+    assert ZipReader(blob).read("x") == b"payload " * 2000
+    # >65535 entries both directions (zip64 EOCD)
+    w = ZipWriter()
+    for i in range(65600):
+        w.write(f"f{i}", b"x", method=0)
+    blob = w.getvalue()
+    assert len(zipfile.ZipFile(io.BytesIO(blob)).namelist()) == 65600
+    zr = ZipReader(blob)
+    assert len(zr.entries) == 65600 and zr.read("f65599") == b"x"
+    bio = io.BytesIO()
+    with zipfile.ZipFile(bio, "w", zipfile.ZIP_STORED) as z:
+        for i in range(65600):
+            z.writestr(f"g{i}", b"y")
+    zr = ZipReader(bio.getvalue())
+    assert len(zr.entries) == 65600 and zr.read("g65599") == b"y"
