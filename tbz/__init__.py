@@ -18,9 +18,10 @@ codec):
   parallel/                     — mesh / shard_map distribution
   native/                       — C++ runtime components (ctypes)
   zlib_compat                   — stdlib-zlib drop-in surface
-  gzip_compat                   — stdlib-gzip drop-in surface
                                   (compressobj/decompressobj, wbits,
                                   zdict, copy; one-import migration)
+  gzip_compat                   — stdlib-gzip drop-in surface
+  index                         — random access via checkpoint index
 
 CLI: `python -m tbz [-d] [-c] [-l N] file` (gzip-compatible tool).
 """
