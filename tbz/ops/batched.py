@@ -1,5 +1,6 @@
 """Batched multi-block speculative decode: the whole stream in ONE
-device call (round 4).
+device call (round 4; round 5 adds the meta-only walk that feeds the
+fused device resolve in ops/fused.py).
 
 The round-2/3 production path (ops/speculative.py) pays one device
 round trip per DEFLATE block because block N+1's header position is
@@ -15,12 +16,18 @@ blocks' tables and lane plans can ship to the device together:
             candidates, lockstep lane decode over ALL lanes of ALL
             segments (per-lane table index), then an on-device stitch
             scan (entry-chain merge over lanes) and token compaction.
-            D2H is ~4 bytes/token + O(lanes) metadata instead of the
-            full padded lane arrays (starts dropped entirely).
-  3. HOST   chain walk over blocks: splice compacted segment tokens,
-            gap-decode any unsynced/unscanned span with the native
-            sequential decoder (correctness never depends on
+  3. HOST   chain walk over blocks, driven by METADATA ONLY (per-lane
+            merge flags / offsets / exits): splice compacted segment
+            tokens, gap-decode any unsynced/unscanned span with the
+            native sequential decoder (correctness never depends on
             speculation), validate distances per block.
+
+The walk needs no token values, so it has two consumers:
+  - tokenize_stream_batched (host tape): fetches meta + a bounded token
+    prefix in one D2H and splices on the host (test_three_way parity).
+  - ops/fused.decode_stream_fused (device output): fetches ONLY the
+    metadata; the compacted tokens never leave the device — the merge
+    plan from this walk drives an on-device resolve.
 
 Bit-identical to the other frontends (tests/test_three_way.py). The
 reference's decode is strictly sequential (deflate.lisp:640-720); the
@@ -32,6 +39,7 @@ from __future__ import annotations
 
 import functools
 import time
+from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
@@ -149,12 +157,13 @@ def _batched_kernel(data32, lit_lens, dist_lens, tbl_idx, lane_starts,
                     L: int, S: int, B: int, n_out: int):
     """Table build + lane decode + stitch + compaction, ONE device call.
 
-    Returns one flat int32 array: a [6L + 2B + 1] metadata header
-    [merge_pos | n_valid | flags | handoff | exits | out_off |
+    Returns one flat int32 array: a [7L + 2B + 1] metadata header
+    [merge_pos | n_valid | flags | handoff | exits | out_off | nbytes |
      lit_errs | dist_errs | total] followed by the [n_out + 1] compacted
     tokens (len 9b | field 16b; field = literal byte when len == 1,
     dist-1 otherwise) in chain order — the caller fetches the header
-    plus a bounded token prefix in one D2H.
+    plus a bounded token prefix in one D2H (or, on the fused path, the
+    header alone: ops/fused consumes the tokens in place).
     """
     lit_c, dist_c, _ = (jnp.asarray(x) for x in _entry_consts())
     lit_tabs, lit_errs = jax.vmap(
@@ -260,19 +269,43 @@ def _batched_kernel(data32, lit_lens, dist_lens, tbl_idx, lane_starts,
     tok = ln | (field << 9)
     col = jnp.arange(S, dtype=jnp.int32)[None, :]
     sel = (col >= mpos[:, None]) & (col < (mpos + nv)[:, None])
+    # per-lane OUTPUT byte counts ride in the metadata so the fused
+    # path can size the resolve buffers without touching the tokens
+    nbytes = jnp.sum(jnp.where(sel, ln, 0), axis=1).astype(jnp.int32)
     tgt = jnp.where(sel, off[:, None] + (col - mpos[:, None]),
                     jnp.int32(n_out))
     compact = jnp.zeros(n_out + 1, jnp.int32).at[tgt.ravel()].set(
         tok.ravel(), mode="drop")
 
     meta = jnp.concatenate([
-        mpos, nv, flags, handoff, exits, off,
+        mpos, nv, flags, handoff, exits, off, nbytes,
         lit_errs.astype(jnp.int32), dist_errs.astype(jnp.int32),
         total[None]])
     # ONE flat result: metadata followed by the compacted tokens, so
     # the host fetches meta + a bounded token prefix in a single D2H
     # (every separate fetch is a full tunnel round trip)
     return jnp.concatenate([meta, compact])
+
+
+class Plan(NamedTuple):
+    """Kernel launch plan (shared by production and the chip probes —
+    the probe must measure exactly what production runs)."""
+    L: int                  # padded lane count (pow2)
+    S: int                  # max symbols per lane
+    B: int                  # padded segment/table count (pow2)
+    n_out: int              # compact token capacity (L*S)
+    hdr_len: int            # metadata ints preceding the tokens
+    bound: int              # expected-case token-prefix fetch size
+    Ln: int                 # real lane count
+    Bn: int                 # real candidate count
+    covered: int            # total lane-covered bits
+    lane_starts: np.ndarray
+    lane_ends: np.ndarray   # EXT_BITS-extended
+    seg_id: np.ndarray
+    tbl_idx: np.ndarray
+    seg_sym: np.ndarray
+    lit_pad: np.ndarray     # (B, 288) code lengths
+    dist_pad: np.ndarray    # (B, 32)
 
 
 def _plan_lanes(sym_bits, seg_ends, chunk_bits):
@@ -292,71 +325,11 @@ def _plan_lanes(sym_bits, seg_ends, chunk_bits):
             np.concatenate(seg))
 
 
-def _unpack_tokens(toks: np.ndarray):
-    """compact int32 tokens -> (out_len, dist, root_val) int32."""
-    ln = toks & 0x1FF
-    field = toks >> 9
-    is_lit = ln == 1
-    di = np.where(is_lit, 0, field + 1).astype(np.int32)
-    rv = np.where(is_lit, field, 0).astype(np.int32)
-    return ln.astype(np.int32), di, rv
-
-
-_empty = np.empty(0, np.int32)
-
-
-def tokenize_stream_batched(data: bytes, window_len: int = 0,
-                            chunk_bits: int = 8192,
-                            collect_stats: bool = False):
-    """Whole-stream batched speculative tokenize (see module docstring).
-
-    Falls back to ops/speculative.tokenize_stream_speculative when the
-    native scanner is unavailable or the stream has no dynamic-block
-    candidates. Returns FrontendResult bit-identical to the other
-    frontends, or (result, stats) when collect_stats.
-
-    chunk_bits=8192 A/B'd on chip (round 4, 1MB L6 mix): 218ms vs 248
-    (2048) / 231 (4096) / 233 (12288) / 225 (16384) — fewer junctions
-    and fewer total slots; kernel cost ~ L*S slots at ~0.35us/slot."""
-    from ..bitreader import BitReader
-    from ..errors import DeflateError, ERR_BAD_BLOCK_TYPE, \
-        ERR_STORED_LEN_MISMATCH
-    from .. import reference as R
-    from . import speculative as SP
-
-    data = bytes(data)
-    nbits = len(data) * 8
-    try:
-        from ..native import loader as NL
-        native_ok = NL.available()
-    except ImportError:
-        native_ok = False
-    if not native_ok or nbits >= (1 << 31):
-        res = SP.tokenize_stream_speculative(
-            data, window_len, chunk_bits, collect_stats=collect_stats)
-        return res
-
-    stats = {"scan_ms": 0.0, "kernel_ms": 0.0, "fetch_ms": 0.0,
-             "walk_ms": 0.0, "fetches": 0, "candidates": 0,
-             "blocks": 0, "spliced": 0, "gap_blocks": 0, "gap_syms": 0,
-             "joins": 0}
-
-    t0 = time.perf_counter()
-    # start the payload upload first: the device_put returns before the
-    # transfer completes, so it overlaps the host header scan
-    data32 = SP.stage_stream_device(data)
-    hdr, symb, bfin, hlit, hdist, lens = NL.scan_headers(data)
-    stats["scan_ms"] = (time.perf_counter() - t0) * 1e3
-    stats["candidates"] = len(hdr)
-    if len(hdr) == 0:
-        # no dynamic headers (stored/static-only stream): hand the
-        # already-staged payload to the fallback so it is not re-uploaded
-        res = SP.tokenize_stream_speculative(
-            data, window_len, chunk_bits, collect_stats=False,
-            data32=data32)
-        return (res, stats) if collect_stats else res
-
-    # --- device plan ------------------------------------------------------
+def _build_plan(nbits: int, scan, chunk_bits: int) -> Plan:
+    """Lane/table plan for one stream from the scanner's candidates.
+    `scan` is the scan_headers tuple (hdr, symb, bfin, hlit, hdist,
+    lens)."""
+    hdr, symb, _bfin, hlit, hdist, lens = scan
     Bn = len(hdr)
     seg_ends = np.append(hdr[1:], nbits)
     lane_starts, lane_ends, seg_id = _plan_lanes(symb, seg_ends,
@@ -365,6 +338,8 @@ def tokenize_stream_batched(data: bytes, window_len: int = 0,
     L = 1 << max(4, (Ln - 1).bit_length())
     B = 1 << max(1, (Bn - 1).bit_length())
     S = max(256, (chunk_bits + EXT_BITS) * 3 // 16)
+    covered = int((lane_ends.astype(np.int64)
+                   - lane_starts.astype(np.int64)).sum()) + Ln * EXT_BITS
     # lanes decode EXT_BITS past their nominal end (overlap merge)
     lane_ends = lane_ends + EXT_BITS
     # pad: extra lanes point at segment 0's table, cover nothing
@@ -381,76 +356,90 @@ def tokenize_stream_batched(data: bytes, window_len: int = 0,
         lit_pad[i, :hlit[i]] = lens[i, :hlit[i]]
         dist_pad[i, :hdist[i]] = lens[i, hlit[i]:hlit[i] + hdist[i]]
     n_out = L * S
-
-    t0 = time.perf_counter()
-    dev = jax.device_put((jnp.asarray(lit_pad), jnp.asarray(dist_pad),
-                          jnp.asarray(tbl_idx), jnp.asarray(lane_starts),
-                          jnp.asarray(lane_ends), jnp.asarray(seg_id),
-                          jnp.asarray(seg_sym)))
-    flat_d = _batched_kernel(
-        data32, *dev, np.int32(nbits), L, S, B, n_out)
-    stats["kernel_ms"] = (time.perf_counter() - t0) * 1e3
-
-    # ONE bounded fetch: metadata + a token prefix sized by the
-    # EXPECTED token count. Real streams average ~11-12 bits/symbol
-    # (measured: 178K tokens in 2.07M covered bits on the bench mix),
-    # so covered//9 over-covers typical content while fetching ~2.5x
-    # less than the worst-case covered//5 budget; when a degenerate
-    # (short-code-heavy) stream exceeds it, the tail fetch below grabs
-    # the rest for one extra ~28ms round trip. Over-fetch costs
-    # transfer time on the ~14-50 MB/s tunnel, so the expected-case
-    # bound wins (A/B'd on chip, round 4: 1.87MB -> 0.95MB fetch).
-    hdr_len = 6 * L + 2 * B + 1
-    covered = int((lane_ends[:Ln].astype(np.int64)
-                   - lane_starts[:Ln].astype(np.int64)).sum())
+    hdr_len = 7 * L + 2 * B + 1
+    # token-prefix fetch sized by the EXPECTED token count: real streams
+    # average ~11-12 bits/symbol, so covered//9 over-covers typical
+    # content while fetching ~2.5x less than the worst-case covered//5
+    # budget; a degenerate (short-code-heavy) stream that exceeds it
+    # pays one extra tail round trip (stats['fetches'] == 2, asserted
+    # observable by tests/test_batched.py)
     bound = min(n_out, covered // 9 + Ln)
-    t0 = time.perf_counter()
-    first = np.asarray(flat_d[:hdr_len + bound])
-    stats["fetches"] = 1
-    meta = first[:hdr_len]
+    return Plan(L, S, B, n_out, hdr_len, bound, Ln, Bn, covered,
+                lane_starts, lane_ends, seg_id, tbl_idx, seg_sym,
+                lit_pad, dist_pad)
 
-    nv = meta[L:2 * L]
-    flags = meta[2 * L:3 * L]
-    handoff = meta[3 * L:4 * L]
-    exits = meta[4 * L:5 * L]
-    off = meta[5 * L:6 * L]
-    lit_errs = meta[6 * L:6 * L + B]
-    dist_errs = meta[6 * L + B:6 * L + 2 * B]
-    total = int(meta[-1])
 
-    if total > bound:
-        tail = np.asarray(flat_d[hdr_len + bound:hdr_len + total])
-        compact = np.concatenate([first[hdr_len:], tail])
-        stats["fetches"] = 2
-    else:
-        compact = first[hdr_len:hdr_len + total]
-    stats["fetch_ms"] = (time.perf_counter() - t0) * 1e3
-    all_ol, all_di, all_rv = _unpack_tokens(compact)
+def _launch(data32, plan: Plan, nbits: int):
+    """device_put the plan and launch the batched kernel."""
+    dev = jax.device_put((jnp.asarray(plan.lit_pad),
+                          jnp.asarray(plan.dist_pad),
+                          jnp.asarray(plan.tbl_idx),
+                          jnp.asarray(plan.lane_starts),
+                          jnp.asarray(plan.lane_ends),
+                          jnp.asarray(plan.seg_id),
+                          jnp.asarray(plan.seg_sym)))
+    return _batched_kernel(data32, *dev, np.int32(nbits),
+                           plan.L, plan.S, plan.B, plan.n_out)
 
+
+class Meta(NamedTuple):
+    """Parsed kernel metadata header (host copies)."""
+    nv: np.ndarray
+    flags: np.ndarray
+    handoff: np.ndarray
+    exits: np.ndarray
+    off: np.ndarray
+    nbytes: np.ndarray
+    lit_errs: np.ndarray
+    dist_errs: np.ndarray
+    total: int
+
+
+def _parse_meta(raw: np.ndarray, plan: Plan) -> Meta:
+    L, B = plan.L, plan.B
+    return Meta(nv=raw[L:2 * L], flags=raw[2 * L:3 * L],
+                handoff=raw[3 * L:4 * L], exits=raw[4 * L:5 * L],
+                off=raw[5 * L:6 * L], nbytes=raw[6 * L:7 * L],
+                lit_errs=raw[7 * L:7 * L + B],
+                dist_errs=raw[7 * L + B:7 * L + 2 * B],
+                total=int(raw[7 * L + 2 * B]))
+
+
+_empty = np.empty(0, np.int32)
+
+
+def _walk(data: bytes, scan, plan: Plan, meta: Meta, stats,
+          emit_dev, emit_host, end_block=lambda: None) -> int:
+    """The host chain walk, driven by metadata only (no token values):
+    reads block headers from the bit stream, decides per lane whether
+    its compacted token range splices or a gap must be host-decoded,
+    and reports the stream as an ordered sequence of
+      emit_dev(lane, a, b)        — compact-token range [a, b)
+      emit_host(ol, di, rv)       — host-generated tokens (stored
+                                    blocks, unscanned blocks, junction
+                                    gap joins)
+      end_block()                 — after each block completes (the
+                                    host-splice consumer validates
+                                    distances per block here, so a bad
+                                    distance in block N raises before a
+                                    structural error in block N+1 —
+                                    zlib's sequential error order)
+    Returns end_bit. Raises the canonical frontend errors for
+    structural problems; DISTANCE validation is the emitter's job
+    (host splice: emit_block; fused: the device check)."""
+    from ..bitreader import BitReader
+    from ..errors import DeflateError, ERR_BAD_BLOCK_TYPE, \
+        ERR_STORED_LEN_MISMATCH
+    from .. import reference as R
+    from ..native import loader as NL
+
+    hdr, symb, _bfin, hlit, hdist, lens = scan
+    Bn, Ln = plan.Bn, plan.Ln
+    seg_id = plan.seg_id
     # lanes of each segment (contiguous ranges in lane order)
     seg_first = np.searchsorted(seg_id[:Ln], np.arange(Bn))
     seg_last = np.searchsorted(seg_id[:Ln], np.arange(Bn), side="right")
     hdr_pos = {int(h): i for i, h in enumerate(hdr)}
-
-    # --- host chain walk --------------------------------------------------
-    t0 = time.perf_counter()
-    br = BitReader(data, 0)
-    parts: list = []
-    produced = 0
-
-    def emit_block(ol, di, rv):
-        """Per-block distance validation (mirrors speculative.py's
-        deferred check; the reference checks inline,
-        deflate.lisp:691) + append."""
-        nonlocal produced
-        if len(ol) == 0:
-            return
-        pref = np.cumsum(ol.astype(np.int64)) - ol
-        bad = (di > pref + produced + window_len) & (di > 0)
-        if np.any(bad):
-            E.raise_for_code(E.ERR_BAD_DISTANCE)
-        parts.append((ol, di, rv))
-        produced += int(ol.sum())
 
     def gap_to_eob(bit, ll, dl):
         """Native sequential decode to end-of-block; returns end bit."""
@@ -460,8 +449,8 @@ def tokenize_stream_batched(data: bytes, window_len: int = 0,
             raise E.TruncatedError(
                 "block symbol stream ended before its end-of-block code")
         stats["gap_syms"] += len(ol)
-        emit_block(np.asarray(ol, np.int32), np.asarray(di, np.int32),
-                   np.asarray(rv, np.int32))
+        emit_host(np.asarray(ol, np.int32), np.asarray(di, np.int32),
+                  np.asarray(rv, np.int32))
         return end_bit
 
     def gap_join(bit, stop_bit, ll, dl):
@@ -472,10 +461,11 @@ def tokenize_stream_batched(data: bytes, window_len: int = 0,
             data, bit, ll, dl, _empty, stop_bit, cap=1 << 16)
         stats["gap_syms"] += len(ol)
         if len(ol):
-            emit_block(np.asarray(ol, np.int32), np.asarray(di, np.int32),
-                       np.asarray(rv, np.int32))
+            emit_host(np.asarray(ol, np.int32), np.asarray(di, np.int32),
+                      np.asarray(rv, np.int32))
         return end_bit == stop_bit, eob, end_bit
 
+    br = BitReader(data, 0)
     while True:
         bfinal = bool(br.bits(1))
         btype = br.bits(2)
@@ -492,14 +482,13 @@ def tokenize_stream_batched(data: bytes, window_len: int = 0,
             if ln0:
                 o = br.bit_position() >> 3
                 br.read_bytes_aligned(ln0)
-                parts.append((np.array([ln0], np.int32),
-                              np.array([0], np.int32),
-                              np.array([STORED_FLAG | o], np.int32)))
-                produced += ln0
+                emit_host(np.array([ln0], np.int32),
+                          np.array([0], np.int32),
+                          np.array([STORED_FLAG | o], np.int32))
         else:
             hb = br.bit_position() - 3
             si = hdr_pos.get(hb) if btype == C.BTYPE_DYNAMIC else None
-            if si is None or lit_errs[si] or dist_errs[si]:
+            if si is None or meta.lit_errs[si] or meta.dist_errs[si]:
                 # static block, scanner miss, or device table failure:
                 # host header parse (authoritative error classes) +
                 # native sequential decode of this block
@@ -515,23 +504,13 @@ def tokenize_stream_batched(data: bytes, window_len: int = 0,
             else:
                 ll = lens[si, :hlit[si]]
                 dl = lens[si, hlit[si]:hlit[si] + hdist[si]]
-                ols, dis, rvs = [], [], []
-
-                def flush():
-                    nonlocal ols, dis, rvs
-                    if ols:
-                        emit_block(np.concatenate(ols),
-                                   np.concatenate(dis),
-                                   np.concatenate(rvs))
-                        ols, dis, rvs = [], [], []
-
                 done = False
                 end_bit = None
                 # last verified true-chain position (start of block)
                 true_pos = int(symb[si])
                 gapping = False  # a dead junction awaits a host join
                 for l in range(int(seg_first[si]), int(seg_last[si])):
-                    f = int(flags[l])
+                    f = int(meta.flags[l])
                     if f & F_SKIP:
                         continue
                     if f & F_MERGED:
@@ -540,9 +519,8 @@ def tokenize_stream_batched(data: bytes, window_len: int = 0,
                             # chain to this lane's handoff and verify
                             # the landing is exact
                             stats["joins"] += 1
-                            flush()
                             landed, eob, eb = gap_join(
-                                true_pos, int(handoff[l]), ll, dl)
+                                true_pos, int(meta.handoff[l]), ll, dl)
                             if eob:
                                 done = True
                                 end_bit = eb
@@ -555,27 +533,167 @@ def tokenize_stream_batched(data: bytes, window_len: int = 0,
                                 break
                             gapping = False
                         stats["spliced"] += 1
-                        a, b = int(off[l]), int(off[l]) + int(nv[l])
+                        a, b = int(meta.off[l]), \
+                            int(meta.off[l]) + int(meta.nv[l])
                         if b > a:
-                            ols.append(all_ol[a:b])
-                            dis.append(all_di[a:b])
-                            rvs.append(all_rv[a:b])
-                        true_pos = int(exits[l])
+                            emit_dev(l, a, b)
+                        true_pos = int(meta.exits[l])
                         if f & F_EOB:
                             done = True
                             end_bit = true_pos
                             break
                     else:  # dead junction: join at the next merge
                         gapping = True
-                flush()
                 if not done:
                     # block continues past the segment (false candidate
                     # ahead, capped coverage, or trailing dead lanes):
                     # finish it sequentially from the last true position
                     end_bit = gap_to_eob(true_pos, ll, dl)
                 br = BitReader(data, end_bit)
+        end_block()
         if bfinal:
             break
+    return br.bit_position()
+
+
+def _unpack_tokens(toks: np.ndarray):
+    """compact int32 tokens -> (out_len, dist, root_val) int32."""
+    ln = toks & 0x1FF
+    field = toks >> 9
+    is_lit = ln == 1
+    di = np.where(is_lit, 0, field + 1).astype(np.int32)
+    rv = np.where(is_lit, field, 0).astype(np.int32)
+    return ln.astype(np.int32), di, rv
+
+
+def _new_stats():
+    return {"scan_ms": 0.0, "kernel_ms": 0.0, "fetch_ms": 0.0,
+            "walk_ms": 0.0, "fetches": 0, "candidates": 0,
+            "blocks": 0, "spliced": 0, "gap_blocks": 0, "gap_syms": 0,
+            "joins": 0, "token_d2h_bytes": 0}
+
+
+def _scan_and_launch(data: bytes, chunk_bits: int, stats):
+    """Shared front half: stage the payload, scan headers, plan, launch.
+    Returns (scan, plan, flat_d, data32) or None when the scanner found
+    no dynamic-block candidates (caller falls back)."""
+    from ..native import loader as NL
+    from . import speculative as SP
+
+    nbits = len(data) * 8
+    t0 = time.perf_counter()
+    # start the payload upload first: the device_put returns before the
+    # transfer completes, so it overlaps the host header scan
+    data32 = SP.stage_stream_device(data)
+    scan = NL.scan_headers(data)
+    stats["scan_ms"] = (time.perf_counter() - t0) * 1e3
+    stats["candidates"] = len(scan[0])
+    if len(scan[0]) == 0:
+        return None, None, None, data32
+    plan = _build_plan(nbits, scan, chunk_bits)
+    t0 = time.perf_counter()
+    flat_d = _launch(data32, plan, nbits)
+    stats["kernel_ms"] = (time.perf_counter() - t0) * 1e3
+    return scan, plan, flat_d, data32
+
+
+def tokenize_stream_batched(data: bytes, window_len: int = 0,
+                            chunk_bits: int = 8192,
+                            collect_stats: bool = False):
+    """Whole-stream batched speculative tokenize (see module docstring).
+
+    Falls back to ops/speculative.tokenize_stream_speculative when the
+    native scanner is unavailable or the stream has no dynamic-block
+    candidates (the fallback uses its own tuned lane plan — its 2048
+    default was measured for its per-block dispatch, advisor r4 #1).
+    Returns FrontendResult bit-identical to the other frontends, or
+    (result, stats) when collect_stats.
+
+    chunk_bits=8192 A/B'd on chip (round 4, 1MB L6 mix): 218ms vs 248
+    (2048) / 231 (4096) / 233 (12288) / 225 (16384) — fewer junctions
+    and fewer total slots; kernel cost ~ L*S slots at ~0.35us/slot."""
+    from . import speculative as SP
+
+    data = bytes(data)
+    nbits = len(data) * 8
+    try:
+        from ..native import loader as NL
+        native_ok = NL.available()
+    except ImportError:
+        native_ok = False
+    if not native_ok or nbits >= (1 << 31):
+        res = SP.tokenize_stream_speculative(
+            data, window_len, collect_stats=collect_stats)
+        return res
+
+    stats = _new_stats()
+    scan, plan, flat_d, data32 = _scan_and_launch(data, chunk_bits, stats)
+    if scan is None:
+        # no dynamic headers (stored/static-only stream): hand the
+        # already-staged payload to the fallback so it is not re-uploaded
+        res = SP.tokenize_stream_speculative(
+            data, window_len, collect_stats=False, data32=data32)
+        return (res, stats) if collect_stats else res
+
+    # ONE bounded fetch: metadata + a token prefix sized by the
+    # EXPECTED token count (see _build_plan). Over-fetch costs transfer
+    # time on the ~14-50 MB/s tunnel, so the expected-case bound wins
+    # (A/B'd on chip, round 4: 1.87MB -> 0.95MB fetch).
+    hdr_len, bound = plan.hdr_len, plan.bound
+    t0 = time.perf_counter()
+    first = np.asarray(flat_d[:hdr_len + bound])
+    stats["fetches"] = 1
+    meta = _parse_meta(first[:hdr_len], plan)
+    if meta.total > bound:
+        tail = np.asarray(flat_d[hdr_len + bound:hdr_len + meta.total])
+        compact = np.concatenate([first[hdr_len:], tail])
+        stats["fetches"] = 2
+    else:
+        compact = first[hdr_len:hdr_len + meta.total]
+    stats["fetch_ms"] = (time.perf_counter() - t0) * 1e3
+    stats["token_d2h_bytes"] = 4 * (hdr_len + max(bound, meta.total))
+    all_ol, all_di, all_rv = _unpack_tokens(compact)
+
+    # --- host chain walk (shared, meta-only) + host splice emitters ----
+    t0 = time.perf_counter()
+    parts: list = []
+    produced = 0
+    pend: list = []  # buffered device ranges, flushed before host tokens
+
+    def emit_block(ol, di, rv):
+        """Per-block distance validation (mirrors speculative.py's
+        deferred check; the reference checks inline,
+        deflate.lisp:691) + append."""
+        nonlocal produced
+        if len(ol) == 0:
+            return
+        pref = np.cumsum(ol.astype(np.int64)) - ol
+        bad = (di > pref + produced + window_len) & (di > 0)
+        if np.any(bad):
+            E.raise_for_code(E.ERR_BAD_DISTANCE)
+        parts.append((ol, di, rv))
+        produced += int(ol.sum())
+
+    def flush():
+        if pend:
+            a = pend[0][0]
+            b = pend[-1][1]
+            emit_block(all_ol[a:b], all_di[a:b], all_rv[a:b])
+            pend.clear()
+
+    def emit_dev(l, a, b):
+        # coalesce contiguous compact ranges into one emit_block call
+        if pend and pend[-1][1] != a:
+            flush()
+        pend.append((a, b))
+
+    def emit_host(ol, di, rv):
+        flush()
+        emit_block(ol, di, rv)
+
+    end_bit = _walk(data, scan, plan, meta, stats, emit_dev, emit_host,
+                    end_block=flush)
+    flush()
 
     if parts:
         ol = np.concatenate([p[0] for p in parts])
@@ -587,7 +705,7 @@ def tokenize_stream_batched(data: bytes, window_len: int = 0,
     tape = TokenTape(out_len=ol, dist=di, root_val=rv,
                      total_out=int(ol.sum()))
     res = FrontendResult(tape=tape, blocks=[],
-                         end_bit=br.bit_position(), finished=True)
+                         end_bit=end_bit, finished=True)
     if collect_stats:
         return res, stats
     return res
