@@ -88,6 +88,17 @@ def _decode_body(body: bytes, window: bytes, backend: str,
         res = reference.tokenize_host(body, 0, window_len=len(window))
         out = reference.resolve_host(res.tape, body, window)
         return out, len(out), res.end_bit, res.finished, None
+    if get_config().frontend in ("auto", "device") and len(body) >= 65536:
+        # fused device-resident pipeline: batched tokenize -> on-device
+        # splice -> pointer-doubling resolve; only metadata crosses D2H
+        # (ops/fused). Falls through when the native scanner is missing
+        # or the stream has no dynamic-block candidates.
+        from .ops import fused as _fused
+        with _stage("decode.fused", len(body)):
+            r = _fused.decode_stream_fused(body, window, fetch=fetch)
+        if r is not None:
+            out, dev_body, total, end_bit = r
+            return out, int(total), end_bit, True, dev_body
     with _stage("tokenize", len(body)):
         res = _frontend.tokenize(body, 0, window_len=len(window),
                                  frontend=get_config().frontend)

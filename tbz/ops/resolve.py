@@ -33,16 +33,14 @@ from ..tape import STORED_FLAG, TokenTape
 W = C.MAX_WINDOW  # 32768
 
 
-@functools.partial(jax.jit, static_argnames=("out_capacity",))
-def _resolve_impl(out_len: jnp.ndarray, dist: jnp.ndarray,
+def _resolve_core(out_len: jnp.ndarray, dist: jnp.ndarray,
                   root_val: jnp.ndarray, n_tokens: jnp.ndarray,
-                  total_out: jnp.ndarray, input_bytes: jnp.ndarray,
-                  window: jnp.ndarray, out_capacity: int) -> jnp.ndarray:
-    """Returns uint8[W + out_capacity]; real output is [W : W + total_out].
-
-    Leading W bytes are the (possibly zero) history window. Token arrays
-    may be padded arbitrarily past n_tokens.
-    """
+                  input_bytes: jnp.ndarray, window: jnp.ndarray,
+                  out_capacity: int) -> jnp.ndarray:
+    """Traceable resolver body shared by `_resolve_impl` and the fused
+    splice+resolve kernel (ops/fused.py). Returns uint8[W + out_capacity];
+    real output is [W : W + total_out]. Leading W bytes are the (possibly
+    zero) history window. Token arrays may be padded past n_tokens."""
     T = out_len.shape[0]
     tok_idx = jnp.arange(T, dtype=jnp.int32)
     valid = tok_idx < n_tokens
@@ -89,6 +87,15 @@ def _resolve_impl(out_len: jnp.ndarray, dist: jnp.ndarray,
 
     values = jnp.concatenate([window, root_byte])
     return values[parent]
+
+
+@functools.partial(jax.jit, static_argnames=("out_capacity",))
+def _resolve_impl(out_len: jnp.ndarray, dist: jnp.ndarray,
+                  root_val: jnp.ndarray, n_tokens: jnp.ndarray,
+                  total_out: jnp.ndarray, input_bytes: jnp.ndarray,
+                  window: jnp.ndarray, out_capacity: int) -> jnp.ndarray:
+    return _resolve_core(out_len, dist, root_val, n_tokens, input_bytes,
+                         window, out_capacity)
 
 
 def _pad_pow2(n: int, floor: int = 1024) -> int:
