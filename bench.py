@@ -264,15 +264,31 @@ def bench_device_e2e(payload: bytes, data: bytes, timeout_s: float = 600.0):
             # are tunnel round trips vs kernels vs host work)
             for line in profiling.metrics.report().splitlines():
                 log(f"[bench]   e2e {line}")
-            from tbz.ops.batched import tokenize_stream_batched
-            _, st = tokenize_stream_batched(payload, collect_stats=True)
-            log(f"[bench]   e2e tokenize breakdown: scan {st['scan_ms']:.0f}"
-                f" ms, kernel+meta {st['kernel_ms']:.0f} ms, token fetch "
-                f"{st['fetch_ms']:.0f} ms, walk {st['walk_ms']:.0f} ms; "
-                f"{st['fetches']} fetches, {st['candidates']} candidates, "
-                f"{st['spliced']} lanes spliced, {st['joins']} joins, "
-                f"{st['gap_syms']} host-decoded syms")
-            return min(ts)
+            from tbz.ops import fused as FU
+            r = FU.decode_stream_fused(payload, collect_stats=True)
+            ts_res = None
+            if r is not None:
+                st = r[4]
+                log(f"[bench]   e2e fused breakdown: scan "
+                    f"{st['scan_ms']:.0f} ms, launch {st['kernel_ms']:.0f}"
+                    f" ms, meta fetch {st['fetch_ms']:.0f} ms "
+                    f"({st['meta_d2h_bytes']} B), walk "
+                    f"{st['walk_ms']:.0f} ms, resolve launch "
+                    f"{st['resolve_launch_ms']:.0f} ms, out fetch "
+                    f"{st['out_fetch_ms']:.0f} ms; token D2H "
+                    f"{st['token_d2h_bytes']} B, {st['candidates']} "
+                    f"candidates, {st['spliced']} lanes spliced, "
+                    f"{st['joins']} joins, {st['gap_syms']} "
+                    f"host-decoded syms")
+                # device-resident form: only the 4-byte error word is
+                # fetched (the on-mesh-consumer configuration)
+                ts_res = []
+                for _ in range(2):
+                    t0 = time.perf_counter()
+                    rr = FU.decode_stream_fused(payload, fetch=False)
+                    assert rr is not None
+                    ts_res.append(time.perf_counter() - t0)
+            return min(ts), (min(ts_res) if ts_res else None)
         finally:
             cfgmod.set_config(old)
 
@@ -461,6 +477,7 @@ def main():
 
     dev_resolve = None
     dev_e2e = None
+    dev_e2e_res = None
     if not args.host_only:
         ds, db = data[:2 << 20], data[:8 << 20]
         ps = zlib.compress(ds, 6)[2:-4]
@@ -471,9 +488,14 @@ def main():
                 f"plan, two-size slope): {dev_resolve / 1e9:.3f} GB/s")
         de, pe = data[:1 << 20], zlib.compress(data[:1 << 20], 6)[2:-4]
         dev_e2e = bench_device_e2e(pe, de)
+        dev_e2e_res = None
         if dev_e2e is not None:
+            dev_e2e, dev_e2e_res = dev_e2e
             log(f"[bench] device end-to-end decode 1MB (public API, "
                 f"incl. tunnel IO): {dev_e2e * 1000:.0f} ms")
+            if dev_e2e_res is not None:
+                log(f"[bench] device-resident decode 1MB (fused, 4B "
+                    f"fetch): {dev_e2e_res * 1000:.0f} ms")
 
     # Encoder size target (BASELINE: <= libz at matched level), 4MB slice.
     enc_n = min(len(data), 4 << 20)
@@ -521,6 +543,8 @@ def main():
         result["device_crc_GBps"] = round(dev_crc_slope, 2)
     if dev_e2e is not None:
         result["device_e2e_1MB_ms"] = round(dev_e2e * 1000, 1)
+    if dev_e2e_res is not None:
+        result["device_resident_1MB_ms"] = round(dev_e2e_res * 1000, 1)
     print(json.dumps(result))
 
 

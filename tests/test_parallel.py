@@ -182,16 +182,28 @@ def test_shard_host_retry_on_device_failure(mesh, monkeypatch):
     assert isinstance(outs[3], ChecksumError)
 
 
-def test_shard_zlib_trailing_junk_errors(mesh):
-    """Trailing bytes after a zlib trailer classify like the gzip branch
-    (same error class for the same corruption)."""
-    from tbz.errors import DeflateError
+def test_trailing_garbage_policy_agrees_across_surfaces(mesh):
+    """ONE policy on every surface (round 5): bytes after a complete
+    member that don't start another member are benign trailing garbage
+    (zlib.decompressobj semantics), for both zlib and gzip framing —
+    shard batch decode, one-shot api.decompress, and the streaming
+    Decompressor all return the payload's data."""
+    import gzip as _g
+    from tbz import api
+    from tbz.streaming import Decompressor
     data = corpus(70, 20000)
-    good = zlib.compress(data, 6)
-    outs = shard.decode_streams_sharded([good, good + b"junk!"], mesh,
-                                        format="zlib", return_errors=True)
-    assert outs[0] == data
-    assert isinstance(outs[1], DeflateError)
+    for fmt, good in (("zlib", zlib.compress(data, 6)),
+                      ("gzip", _g.compress(data, 6))):
+        junky = good + b"junk!"
+        outs = shard.decode_streams_sharded([good, junky], mesh,
+                                            format=fmt,
+                                            return_errors=True)
+        assert outs == [data, data], fmt
+        out, info = api.decompress(junky, fmt, with_info=True)
+        assert out == data and info.unused_data == b"junk!", fmt
+        d = Decompressor(fmt)
+        assert d.decompress(junky) == data, fmt
+        assert d.unused_data == b"junk!", fmt
 
 
 def test_shard_device_resident_outputs(mesh):
