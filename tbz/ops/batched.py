@@ -68,6 +68,9 @@ EXT_BITS = 384  # junction convergence: median ~50 bits, p90 ~140,
 HEAD = 96   # merge candidates tested in the joining lane
 TAIL = 144  # trailing starts carried from the previous lane
 
+SYM_BITS_EXPECT = 7  # lane-tape sizing: expected bits/symbol (see
+                     # _build_plan; overflow degrades to one host join)
+
 # flag bits in the per-lane stitch metadata
 F_MERGED = 1
 F_SKIP = 2
@@ -79,19 +82,23 @@ def _lanes_multi(data32, lit_flat, dist_flat, tbl_off, lane_starts,
                  lane_ends, total_bits, L: int, S: int):
     """Lockstep decode of L lanes x S steps, each lane reading its own
     segment's tables via a per-lane offset into the flattened (B*2^15)
-    table arrays. Same per-step math as speculative._lanes_decode, but
-    the whole symbol (code + extra + dist code + dist extra, <= 63 bits
-    past the symbol start) is read from ONE 3-word window fetch — 3
-    data gathers + 2 table gathers per lane-step instead of 10 (each
-    _peek is 2 gathers; in-loop gathers are the measured kernel cost,
-    memory/env-axon-tpu.md)."""
+    table arrays. The whole symbol (code + extra + dist code + dist
+    extra, <= 63 bits past the symbol start) is read from ONE row
+    gather into an overlapping 3-word-row view of the stream — in-loop
+    gather OPS are the measured kernel cost (memory/env-axon-tpu.md:
+    small per-step gathers run ~12M elem/s, op-overhead-bound), so one
+    (L,3) row gather replaces three element gathers per lane-step."""
+    NW = data32.shape[0] - 2
+    rows = jnp.stack([data32[0:NW], data32[1:NW + 1], data32[2:NW + 2]],
+                     axis=1)
 
     def step(carry, _):
         bit, active, bad = carry
         wi = (bit >> 5).astype(jnp.int32)
-        w0 = data32[wi]
-        w1 = data32[wi + 1]
-        w2 = data32[wi + 2]
+        w = rows[wi]
+        w0 = w[:, 0]
+        w1 = w[:, 1]
+        w2 = w[:, 2]
 
         def peek_at(p, n):
             # p in [bit, bit+48], n <= 15: the needed bits live in words
@@ -337,7 +344,14 @@ def _build_plan(nbits: int, scan, chunk_bits: int) -> Plan:
     Ln = len(lane_starts)
     L = 1 << max(4, (Ln - 1).bit_length())
     B = 1 << max(1, (Bn - 1).bit_length())
-    S = max(256, (chunk_bits + EXT_BITS) * 3 // 16)
+    # Lane tape sized for realistic symbol density, not the 5.33
+    # bits/sym worst case: a lane that fills its tape still splices its
+    # prefix and costs one host gap join (see _batched_kernel), so S is
+    # a perf knob, not a correctness bound. Real streams average
+    # ~11-12 bits/sym; 7 covers dense-literal text with margin while
+    # cutting the scan's step count (the kernel cost is per-step gather
+    # ops) by ~24% vs the old * 3 // 16.
+    S = max(256, (chunk_bits + EXT_BITS) // SYM_BITS_EXPECT)
     covered = int((lane_ends.astype(np.int64)
                    - lane_starts.astype(np.int64)).sum()) + Ln * EXT_BITS
     # lanes decode EXT_BITS past their nominal end (overlap merge)

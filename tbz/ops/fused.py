@@ -52,7 +52,8 @@ _kern_cache: dict = {}
 
 def _splice_resolve(compact, data32, window, rng_dst, rng_src, rng_kind,
                     host_ol, host_di, host_rv, n_total, window_len,
-                    n_out: int, T: int, R: int, H: int, cap: int):
+                    n_out: int, T: int, R: int, H: int, cap: int,
+                    has_stored: bool):
     """ONE device call: token-chain assembly + distance check + resolve.
 
     compact: int32[n_out + 1] on-device token tape (batched kernel
@@ -73,12 +74,14 @@ def _splice_resolve(compact, data32, window, rng_dst, rng_src, rng_kind,
     fld = tok >> 9
     is_lit = ln_d == 1
     from_host = kind == 1
-    ol = jnp.where(valid, jnp.where(from_host, host_ol[hi], ln_d), 0)
+    hrows = jnp.stack([host_ol, host_di, host_rv], axis=1)
+    hg = hrows[hi]  # one row gather for the three host-token fields
+    ol = jnp.where(valid, jnp.where(from_host, hg[:, 0], ln_d), 0)
     di = jnp.where(valid & (ol > 0),
-                   jnp.where(from_host, host_di[hi],
+                   jnp.where(from_host, hg[:, 1],
                              jnp.where(is_lit, 0, fld + 1)), 0)
     rv = jnp.where(valid,
-                   jnp.where(from_host, host_rv[hi],
+                   jnp.where(from_host, hg[:, 2],
                              jnp.where(is_lit, fld, 0)), 0)
 
     # zlib's "distance too far back": dist may reach window_len bytes
@@ -91,19 +94,22 @@ def _splice_resolve(compact, data32, window, rng_dst, rng_src, rng_kind,
 
     data_u8 = jax.lax.bitcast_convert_type(
         data32, jnp.uint8).reshape(-1)
-    buf = _resolve_core(ol, di, rv, n_total, data_u8, window, cap)
+    buf = _resolve_core(ol, di, rv, n_total, data_u8, window, cap,
+                        has_stored)
     fb = jax.lax.bitcast_convert_type(
         first_bad[None].astype(jnp.int32), jnp.uint8).reshape(4)
     return jnp.concatenate([fb, buf])
 
 
-def _get_kernel(n_out: int, T: int, R: int, H: int, cap: int):
-    key = (n_out, T, R, H, cap)
+def _get_kernel(n_out: int, T: int, R: int, H: int, cap: int,
+                has_stored: bool):
+    key = (n_out, T, R, H, cap, has_stored)
     fn = _kern_cache.get(key)
     if fn is None:
         import functools
         fn = jax.jit(functools.partial(
-            _splice_resolve, n_out=n_out, T=T, R=R, H=H, cap=cap))
+            _splice_resolve, n_out=n_out, T=T, R=R, H=H, cap=cap,
+            has_stored=has_stored))
         _kern_cache[key] = fn
     return fn
 
@@ -122,6 +128,7 @@ class _PlanBuilder:
         self.h_di: list = []
         self.h_rv: list = []
         self.n_host = 0
+        self.has_stored = False
 
     def emit_dev(self, lane, a, b):
         # coalesce ranges contiguous in BOTH chain and compact space
@@ -145,6 +152,8 @@ class _PlanBuilder:
         self.h_ol.append(ol)
         self.h_di.append(di)
         self.h_rv.append(rv)
+        if np.any(rv.astype(np.int64) & (1 << 30)):  # tape.STORED_FLAG
+            self.has_stored = True
         self.n_tok += len(ol)
         self.n_host += len(ol)
         self.n_bytes += int(ol.astype(np.int64).sum())
@@ -229,7 +238,7 @@ def decode_stream_fused(data: bytes, window: bytes = b"",
     if len(win):
         wpad[W - len(win):] = win
     compact = jax.lax.slice(flat_d, (hdr_len,), (hdr_len + plan.n_out + 1,))
-    kern = _get_kernel(plan.n_out, T, R, H, cap)
+    kern = _get_kernel(plan.n_out, T, R, H, cap, pb.has_stored)
     ret = kern(compact, data32, jnp.asarray(wpad), jnp.asarray(rng[0]),
                jnp.asarray(rng[1]), jnp.asarray(rng[2]),
                jnp.asarray(h_ol), jnp.asarray(h_di), jnp.asarray(h_rv),

@@ -36,11 +36,14 @@ W = C.MAX_WINDOW  # 32768
 def _resolve_core(out_len: jnp.ndarray, dist: jnp.ndarray,
                   root_val: jnp.ndarray, n_tokens: jnp.ndarray,
                   input_bytes: jnp.ndarray, window: jnp.ndarray,
-                  out_capacity: int) -> jnp.ndarray:
+                  out_capacity: int, has_stored: bool = True) -> jnp.ndarray:
     """Traceable resolver body shared by `_resolve_impl` and the fused
     splice+resolve kernel (ops/fused.py). Returns uint8[W + out_capacity];
     real output is [W : W + total_out]. Leading W bytes are the (possibly
-    zero) history window. Token arrays may be padded past n_tokens."""
+    zero) history window. Token arrays may be padded past n_tokens.
+    has_stored=False (static) elides the stored-run input gather — a
+    full-output-size gather — when the caller knows no token carries
+    STORED_FLAG (e.g. the fused path's device tokens never do)."""
     T = out_len.shape[0]
     tok_idx = jnp.arange(T, dtype=jnp.int32)
     valid = tok_idx < n_tokens
@@ -55,22 +58,38 @@ def _resolve_core(out_len: jnp.ndarray, dist: jnp.ndarray,
     tid = jnp.clip(tid, 0, T - 1)
 
     q = jnp.arange(out_capacity, dtype=jnp.int32)
-    d = dist[tid]
-    rv = root_val[tid]
-    tstart = starts[tid]
+    # ONE row gather for the three per-token fields (per-byte element
+    # gathers are the setup cost; a (T,3) row gather is ~3x cheaper than
+    # three T-from-scalar-array gathers on this backend)
+    tok_rows = jnp.stack([dist, root_val, starts], axis=1)
+    g = tok_rows[tid]
+    d = g[:, 0]
+    rv = g[:, 1]
+    tstart = g[:, 2]
 
     # Root byte values: literal byte, or stored-run byte gathered from the
     # compressed input (stored blocks are raw copies, deflate.lisp:532-573).
-    is_stored = (rv & STORED_FLAG) != 0
-    stored_off = (rv & (STORED_FLAG - 1)) + (q - tstart)
-    stored_byte = input_bytes[jnp.clip(stored_off, 0,
-                                       input_bytes.shape[0] - 1)]
-    root_byte = jnp.where(is_stored, stored_byte,
-                          rv.astype(jnp.uint8))
+    if has_stored:
+        is_stored = (rv & STORED_FLAG) != 0
+        stored_off = (rv & (STORED_FLAG - 1)) + (q - tstart)
+        stored_byte = input_bytes[jnp.clip(stored_off, 0,
+                                           input_bytes.shape[0] - 1)]
+        root_byte = jnp.where(is_stored, stored_byte,
+                              rv.astype(jnp.uint8))
+    else:
+        root_byte = rv.astype(jnp.uint8)
 
     # Combined coordinates: [0, W) = window, [W, W+out_capacity) = output.
+    # Match-byte parents jump DIRECTLY to the token's source region:
+    # byte j of a match with distance d copies from tstart - d + (j % d)
+    # (identical to q - d when the copy doesn't self-overlap, and the
+    # whole overlapped run in one hop when it does). This collapses
+    # intra-token chains — an RLE-style dist=1 run is depth-1 instead of
+    # depth-len — so doubling passes scale with the TOKEN genealogy
+    # depth only (measured: ~halves the pass count on text).
     qc = q + W
-    parent_out = jnp.where(d > 0, qc - d, qc)
+    dd = jnp.maximum(d, 1)
+    parent_out = jnp.where(d > 0, tstart - d + (q - tstart) % dd + W, qc)
     parent = jnp.concatenate([jnp.arange(W, dtype=jnp.int32), parent_out])
     parent = jnp.clip(parent, 0, W + out_capacity - 1)
 
@@ -89,13 +108,15 @@ def _resolve_core(out_len: jnp.ndarray, dist: jnp.ndarray,
     return values[parent]
 
 
-@functools.partial(jax.jit, static_argnames=("out_capacity",))
+@functools.partial(jax.jit,
+                   static_argnames=("out_capacity", "has_stored"))
 def _resolve_impl(out_len: jnp.ndarray, dist: jnp.ndarray,
                   root_val: jnp.ndarray, n_tokens: jnp.ndarray,
                   total_out: jnp.ndarray, input_bytes: jnp.ndarray,
-                  window: jnp.ndarray, out_capacity: int) -> jnp.ndarray:
+                  window: jnp.ndarray, out_capacity: int,
+                  has_stored: bool = True) -> jnp.ndarray:
     return _resolve_core(out_len, dist, root_val, n_tokens, input_bytes,
-                         window, out_capacity)
+                         window, out_capacity, has_stored)
 
 
 def _pad_pow2(n: int, floor: int = 1024) -> int:
@@ -131,9 +152,11 @@ def resolve_device(tape: TokenTape, input_bytes: bytes | np.ndarray,
     wpad = np.zeros(W, np.uint8)
     if len(win):
         wpad[W - len(win):] = win
+    has_stored = bool(np.any(rv & STORED_FLAG))
     out = _resolve_impl(jnp.asarray(ol), jnp.asarray(di), jnp.asarray(rv),
                         np.int32(n), np.int32(tape.total_out),
-                        jnp.asarray(inp), jnp.asarray(wpad), cap)
+                        jnp.asarray(inp), jnp.asarray(wpad), cap,
+                        has_stored)
     return out, tape.total_out
 
 

@@ -159,7 +159,9 @@ def _lanes_decode_unpack(flat: np.ndarray, L: int, max_syms: int):
 def stage_stream_device(data: bytes):
     """Upload a payload once for all of its blocks' lane decodes (the
     per-block re-upload was most of the stream's H2D traffic)."""
-    pad = -(-len(data) // 4) * 4 + 8
+    # +16: 4 zero words of slack so the batched kernel's 3-word-row view
+    # (rows[i] = words i..i+2) is in-bounds for any reachable bit pos
+    pad = -(-len(data) // 4) * 4 + 16
     buf = np.zeros(pad, np.uint8)
     buf[:len(data)] = np.frombuffer(data, np.uint8)
     return jnp.asarray(buf.view("<u4"))
