@@ -47,6 +47,7 @@ import numpy as np
 
 from .. import constants as C
 from .. import errors as E
+from . import gather as G
 from ..tape import STORED_FLAG, FrontendResult, TokenTape
 from .tokenize_device import (_entry_consts, build_flat_table,
                               _e_nbits, _e_op, _e_extra, _e_val)
@@ -158,10 +159,12 @@ def _lanes_multi(data32, lit_flat, dist_flat, tbl_off, lane_starts,
     return starts.T, packed.T, dist.T, exit_bit, ~bad
 
 
-@functools.partial(jax.jit, static_argnames=("L", "S", "B", "n_out"))
+@functools.partial(jax.jit,
+                   static_argnames=("L", "S", "B", "n_out", "emu"))
 def _batched_kernel(data32, lit_lens, dist_lens, tbl_idx, lane_starts,
                     lane_ends_ext, seg_id, seg_sym, total_bits,
-                    L: int, S: int, B: int, n_out: int):
+                    L: int, S: int, B: int, n_out: int,
+                    emu: bool = False):
     """Table build + lane decode + stitch + compaction, ONE device call.
 
     Returns one flat int32 array: a [7L + 2B + 1] metadata header
@@ -174,9 +177,9 @@ def _batched_kernel(data32, lit_lens, dist_lens, tbl_idx, lane_starts,
     """
     lit_c, dist_c, _ = (jnp.asarray(x) for x in _entry_consts())
     lit_tabs, lit_errs = jax.vmap(
-        lambda ln: build_flat_table(ln, lit_c, 288, True))(lit_lens)
+        lambda ln: build_flat_table(ln, lit_c, 288, True, emu))(lit_lens)
     dist_tabs, dist_errs = jax.vmap(
-        lambda ln: build_flat_table(ln, dist_c, 32, True))(dist_lens)
+        lambda ln: build_flat_table(ln, dist_c, 32, True, emu))(dist_lens)
     lit_flat = lit_tabs.reshape(B << _TBITS)
     dist_flat = dist_tabs.reshape(B << _TBITS)
     tbl_off = tbl_idx << _TBITS
@@ -393,7 +396,8 @@ def _launch(data32, plan: Plan, nbits: int):
                           jnp.asarray(plan.seg_id),
                           jnp.asarray(plan.seg_sym)))
     return _batched_kernel(data32, *dev, np.int32(nbits),
-                           plan.L, plan.S, plan.B, plan.n_out)
+                           plan.L, plan.S, plan.B, plan.n_out,
+                           G.want_emulation(data32))
 
 
 class Meta(NamedTuple):

@@ -42,6 +42,7 @@ import numpy as np
 
 from .. import errors as E
 from . import batched as B
+from . import gather as G
 from .resolve import W, _pad_pow2, _resolve_core
 
 _BIG = np.int32(2**31 - 1)
@@ -53,7 +54,7 @@ _kern_cache: dict = {}
 def _splice_resolve(compact, data32, window, rng_dst, rng_src, rng_kind,
                     host_ol, host_di, host_rv, n_total, window_len,
                     n_out: int, T: int, R: int, H: int, cap: int,
-                    has_stored: bool):
+                    has_stored: bool, emu: bool):
     """ONE device call: token-chain assembly + distance check + resolve.
 
     compact: int32[n_out + 1] on-device token tape (batched kernel
@@ -64,18 +65,23 @@ def _splice_resolve(compact, data32, window, rng_dst, rng_src, rng_kind,
     i = jnp.arange(T, dtype=jnp.int32)
     marks = jnp.zeros(T, jnp.int32).at[rng_dst].add(1, mode="drop")
     rid = jnp.clip(jnp.cumsum(marks) - 1, 0, R - 1)
-    pos = rng_src[rid] + (i - rng_dst[rid])
-    kind = rng_kind[rid]
+    rz = jnp.zeros_like(rng_src)
+    rrows = G.take_rows(jnp.stack([rng_src, rng_dst, rng_kind,
+                                   rz, rz, rz, rz, rz], axis=1), rid)
+    pos = rrows[:, 0] + (i - rrows[:, 1])
+    kind = rrows[:, 2]
     valid = i < n_total
 
-    tok = compact[jnp.clip(jnp.where(kind == 0, pos, 0), 0, n_out)]
+    tok = G.take1d(compact, jnp.where(kind == 0, pos, 0), emu)
     hi = jnp.clip(jnp.where(kind == 1, pos, 0), 0, H - 1)
     ln_d = tok & 0x1FF
     fld = tok >> 9
     is_lit = ln_d == 1
     from_host = kind == 1
-    hrows = jnp.stack([host_ol, host_di, host_rv], axis=1)
-    hg = hrows[hi]  # one row gather for the three host-token fields
+    hz = jnp.zeros_like(host_ol)
+    hrows = jnp.stack([host_ol, host_di, host_rv,
+                       hz, hz, hz, hz, hz], axis=1)
+    hg = G.take_rows(hrows, hi)  # width-8 row gather, host-token fields
     ol = jnp.where(valid, jnp.where(from_host, hg[:, 0], ln_d), 0)
     di = jnp.where(valid & (ol > 0),
                    jnp.where(from_host, hg[:, 1],
@@ -95,21 +101,21 @@ def _splice_resolve(compact, data32, window, rng_dst, rng_src, rng_kind,
     data_u8 = jax.lax.bitcast_convert_type(
         data32, jnp.uint8).reshape(-1)
     buf = _resolve_core(ol, di, rv, n_total, data_u8, window, cap,
-                        has_stored)
+                        has_stored, emu)
     fb = jax.lax.bitcast_convert_type(
         first_bad[None].astype(jnp.int32), jnp.uint8).reshape(4)
     return jnp.concatenate([fb, buf])
 
 
 def _get_kernel(n_out: int, T: int, R: int, H: int, cap: int,
-                has_stored: bool):
-    key = (n_out, T, R, H, cap, has_stored)
+                has_stored: bool, emu: bool):
+    key = (n_out, T, R, H, cap, has_stored, emu)
     fn = _kern_cache.get(key)
     if fn is None:
         import functools
         fn = jax.jit(functools.partial(
             _splice_resolve, n_out=n_out, T=T, R=R, H=H, cap=cap,
-            has_stored=has_stored))
+            has_stored=has_stored, emu=emu))
         _kern_cache[key] = fn
     return fn
 
@@ -238,7 +244,8 @@ def decode_stream_fused(data: bytes, window: bytes = b"",
     if len(win):
         wpad[W - len(win):] = win
     compact = jax.lax.slice(flat_d, (hdr_len,), (hdr_len + plan.n_out + 1,))
-    kern = _get_kernel(plan.n_out, T, R, H, cap, pb.has_stored)
+    kern = _get_kernel(plan.n_out, T, R, H, cap, pb.has_stored,
+                       G.want_emulation(flat_d))
     ret = kern(compact, data32, jnp.asarray(wpad), jnp.asarray(rng[0]),
                jnp.asarray(rng[1]), jnp.asarray(rng[2]),
                jnp.asarray(h_ol), jnp.asarray(h_di), jnp.asarray(h_rv),

@@ -28,6 +28,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from .. import constants as C
+from . import gather as G
 from ..tape import STORED_FLAG, TokenTape
 
 W = C.MAX_WINDOW  # 32768
@@ -36,14 +37,17 @@ W = C.MAX_WINDOW  # 32768
 def _resolve_core(out_len: jnp.ndarray, dist: jnp.ndarray,
                   root_val: jnp.ndarray, n_tokens: jnp.ndarray,
                   input_bytes: jnp.ndarray, window: jnp.ndarray,
-                  out_capacity: int, has_stored: bool = True) -> jnp.ndarray:
+                  out_capacity: int, has_stored: bool = True,
+                  emu: bool = False) -> jnp.ndarray:
     """Traceable resolver body shared by `_resolve_impl` and the fused
     splice+resolve kernel (ops/fused.py). Returns uint8[W + out_capacity];
     real output is [W : W + total_out]. Leading W bytes are the (possibly
     zero) history window. Token arrays may be padded past n_tokens.
     has_stored=False (static) elides the stored-run input gather — a
     full-output-size gather — when the caller knows no token carries
-    STORED_FLAG (e.g. the fused path's device tokens never do)."""
+    STORED_FLAG (e.g. the fused path's device tokens never do).
+    emu=True routes every full-size gather through the row-gather
+    emulation (ops/gather.py) — 3.5x per doubling pass on TPU."""
     T = out_len.shape[0]
     tok_idx = jnp.arange(T, dtype=jnp.int32)
     valid = tok_idx < n_tokens
@@ -58,11 +62,12 @@ def _resolve_core(out_len: jnp.ndarray, dist: jnp.ndarray,
     tid = jnp.clip(tid, 0, T - 1)
 
     q = jnp.arange(out_capacity, dtype=jnp.int32)
-    # ONE row gather for the three per-token fields (per-byte element
-    # gathers are the setup cost; a (T,3) row gather is ~3x cheaper than
-    # three T-from-scalar-array gathers on this backend)
-    tok_rows = jnp.stack([dist, root_val, starts], axis=1)
-    g = tok_rows[tid]
+    # ONE row gather for the three per-token fields, padded to width 8
+    # (width-3 rows lower poorly; width-8 rows run ~700M rows/s —
+    # ops/gather.py module docstring has the measurements)
+    z = jnp.zeros_like(dist)
+    tok_rows = jnp.stack([dist, root_val, starts, z, z, z, z, z], axis=1)
+    g = G.take_rows(tok_rows, tid)
     d = g[:, 0]
     rv = g[:, 1]
     tstart = g[:, 2]
@@ -72,8 +77,7 @@ def _resolve_core(out_len: jnp.ndarray, dist: jnp.ndarray,
     if has_stored:
         is_stored = (rv & STORED_FLAG) != 0
         stored_off = (rv & (STORED_FLAG - 1)) + (q - tstart)
-        stored_byte = input_bytes[jnp.clip(stored_off, 0,
-                                           input_bytes.shape[0] - 1)]
+        stored_byte = G.take1d(input_bytes, stored_off, emu)
         root_byte = jnp.where(is_stored, stored_byte,
                               rv.astype(jnp.uint8))
     else:
@@ -99,24 +103,24 @@ def _resolve_core(out_len: jnp.ndarray, dist: jnp.ndarray,
 
     def body(state):
         p, _ = state
-        p2 = p[p]
+        p2 = G.take1d(p, p, emu)
         return p2, jnp.any(p2 != p)
 
     parent, _ = jax.lax.while_loop(cond, body, (parent, jnp.bool_(True)))
 
     values = jnp.concatenate([window, root_byte])
-    return values[parent]
+    return G.take1d(values, parent, emu)
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("out_capacity", "has_stored"))
+                   static_argnames=("out_capacity", "has_stored", "emu"))
 def _resolve_impl(out_len: jnp.ndarray, dist: jnp.ndarray,
                   root_val: jnp.ndarray, n_tokens: jnp.ndarray,
                   total_out: jnp.ndarray, input_bytes: jnp.ndarray,
                   window: jnp.ndarray, out_capacity: int,
-                  has_stored: bool = True) -> jnp.ndarray:
+                  has_stored: bool = True, emu: bool = False) -> jnp.ndarray:
     return _resolve_core(out_len, dist, root_val, n_tokens, input_bytes,
-                         window, out_capacity, has_stored)
+                         window, out_capacity, has_stored, emu)
 
 
 def _pad_pow2(n: int, floor: int = 1024) -> int:
@@ -153,10 +157,11 @@ def resolve_device(tape: TokenTape, input_bytes: bytes | np.ndarray,
     if len(win):
         wpad[W - len(win):] = win
     has_stored = bool(np.any(rv & STORED_FLAG))
-    out = _resolve_impl(jnp.asarray(ol), jnp.asarray(di), jnp.asarray(rv),
+    j_ol = jnp.asarray(ol)
+    out = _resolve_impl(j_ol, jnp.asarray(di), jnp.asarray(rv),
                         np.int32(n), np.int32(tape.total_out),
                         jnp.asarray(inp), jnp.asarray(wpad), cap,
-                        has_stored)
+                        has_stored, G.want_emulation(j_ol))
     return out, tape.total_out
 
 

@@ -31,6 +31,7 @@ import numpy as np
 
 from .. import constants as C
 from .. import errors as E
+from . import gather as G
 from ..tape import STORED_FLAG, FrontendResult, TokenTape
 
 # --- packed flat-table entries (nbits 0:4 | op 4:7 | extra 7:12 | val 16:32)
@@ -88,11 +89,13 @@ def _entry_consts() -> tuple[np.ndarray, np.ndarray, np.ndarray]:
 
 
 def build_flat_table(lens: jnp.ndarray, entry_const: jnp.ndarray,
-                     n_syms: int, allow_single: bool):
+                     n_syms: int, allow_single: bool, emu: bool = False):
     """Vectorized flat 2^15 decode table from per-symbol lengths.
 
     lens: int32[n_syms] (0 = unused). Returns (table uint32[2^15], err).
     allow_single: zlib's single-1-bit-code incompleteness exception.
+    emu routes the 2^15 bit-reversal permutation through the TPU
+    row-gather emulation (ops/gather.py).
     """
     lens = lens.astype(jnp.int32)
     syms = jnp.arange(n_syms, dtype=jnp.int32)
@@ -142,17 +145,29 @@ def build_flat_table(lens: jnp.ndarray, entry_const: jnp.ndarray,
     # starts are strictly increasing and tile the canonical space, so a
     # scatter of 1s at the starts + cumsum IS the rank; the bit-reversed
     # slot order is one permutation gather at the end.
-    c = jnp.arange(1 << 15, dtype=jnp.int32)
     limit = starts + span  # end of each entry's canonical span
-    marks = jnp.zeros(1 << 15, jnp.int32).at[starts].add(1, mode="drop")
-    k_canon = jnp.cumsum(marks) - 1
-    k = jnp.clip(k_canon, 0, n_syms - 1)
     entries_sorted = (entry_const[
         jnp.clip(order, 0, entry_const.shape[0] - 1)]
         | lens_s.astype(jnp.uint32))
-    valid = (k_canon >= 0) & (k_canon < n_used) & (c < limit[k])
-    tbl_canon = jnp.where(valid, entries_sorted[k], jnp.asarray(_INVALID))
-    table = tbl_canon[jnp.asarray(_rev15_np())]
+    # Slot values and validity WITHOUT any 2^15-wide gather (each of
+    # those costs ~9ms across the 32 vmapped tables of a batched
+    # launch): entry values are a per-rank step function over slots, so
+    # scatter per-rank DELTAS at the span starts and cumsum (uint32
+    # wraparound makes delta+cumsum exact); validity is span coverage,
+    # a +1/-1 scatter at start/limit cumsummed (gap slots of incomplete
+    # codes net to 0; limit==2^15 drops off the end harmlessly).
+    e_prev = jnp.concatenate([jnp.zeros(1, entries_sorted.dtype),
+                              entries_sorted[:-1]])
+    delta = entries_sorted - e_prev
+    entry_cum = jnp.cumsum(
+        jnp.zeros(1 << 15, entries_sorted.dtype)
+        .at[starts].add(delta, mode="drop"))
+    cover = jnp.cumsum(
+        jnp.zeros(1 << 15, jnp.int32)
+        .at[starts].add(1, mode="drop")
+        .at[jnp.where(idx < n_used, limit, 1 << 15)].add(-1, mode="drop"))
+    tbl_canon = jnp.where(cover > 0, entry_cum, jnp.asarray(_INVALID))
+    table = G.take1d(tbl_canon, jnp.asarray(_rev15_np()), emu)
     return table, err
 
 
